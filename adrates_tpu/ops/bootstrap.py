@@ -1,0 +1,188 @@
+"""Differentiable OIS curve bootstrap — static point plan + lax.scan solve.
+
+The reference bootstraps recursively in Python with a rounded-key pv01 memo
+(/root/reference/cavour/trades/rates/ois_curve.py:156-212) and re-derives a
+lax.scan twin inside the engine (engine.py:2246-2360). Here there is ONE
+canonical formulation, split the TPU way:
+
+ - *plan* (trade-compile time, Python): expand every coupon of every
+   calibration swap into a sorted point list with prev-point dependency
+   links, deduplicated by the reference's 2-decimal rounded-key memo
+   semantics. Pure static integer/float arrays.
+ - *solve* (device, differentiable): the par recurrence
+   df_i = (1 - r_i * pv01_prev) / (1 + r_i * acc_i),
+   pv01_i = pv01_prev + acc_i * df_i, which is the LINEAR recurrence
+   pv01_i = (pv01_prev + acc_i) / (1 + r_i * acc_i). It is solved by a
+   wavefront fixed-point iteration over the whole point vector: K = max
+   dependency depth iterations of [P]-shaped gather + fused VPU ops.
+   This is deliberate TPU design, not style: a lax.scan whose carry math
+   is rank-0 lands on the 32-bit scalar unit and silently loses f64
+   precision (docs/tpu_f64_notes.md), and the wavefront does K < P fully
+   vectorized passes instead of P sequential scalar steps. Sub-pillar
+   points take their rate from log-linear interpolation of the pillar
+   rates (ois_curve.py:168-179) so intermediate curve smoothness matches
+   the reference's curve-build path. Pillar par conditions hold exactly
+   regardless, so every input swap reprices to 1e-10 by construction.
+
+Fixes folded in (SURVEY §7 "deliberate non-goals"): no duplicate bogus
+points on the dense grid (the engine twin kept first-coupon duplicates with
+wrong DFs, engine.py:2334-2353), and a missing-first-coupon key bootstraps
+from pv01=0 instead of the reference's IndexError
+(tests/test_par_swap_repricing.py:17-19).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class OISBootstrapPlan(NamedTuple):
+    """Static topology of an OIS bootstrap (a pytree of arrays).
+
+    point_times: [P] exact time of each bootstrap point (sorted ascending)
+    accs:        [P] accrual fraction of the period ending at the point
+    prev_idx:    [P] index of the previous coupon's point (-1 → pv01 = 0)
+    pillar_idx:  [P] index into the pillar rate vector when the point is a
+                 pillar maturity, else -1 (rate comes from log-linear
+                 interpolation of pillar rates at point_times)
+    swap_times:  [S] pillar maturities (interpolation x-grid)
+    pillar_point:[S] index of each pillar's point in the point arrays
+    """
+    point_times: np.ndarray
+    accs: np.ndarray
+    prev_idx: np.ndarray
+    pillar_idx: np.ndarray
+    swap_times: np.ndarray
+    pillar_point: np.ndarray
+    depth: int = 0  # max dependency-chain length (wavefront iterations)
+
+
+def prepare_ois_plan(swap_times: Sequence[float],
+                     year_fracs: Sequence[Sequence[float]]
+                     ) -> OISBootstrapPlan:
+    """Expand calibration swaps into the static bootstrap point plan.
+
+    Runs once per curve topology in Python; everything downstream is jitted.
+    Reproduces the reference's rounded-2dp memo: a sub-pillar coupon point is
+    created only when no point with the same rounded cumulative-time key
+    exists yet; pillar points always exist and take ownership of their key.
+    """
+    points: List[dict] = []
+    by_key = {}          # rounded key -> point index
+    ROUND = 2
+
+    def key_of(t: float) -> float:
+        return round(t, ROUND)
+
+    for i, fracs in enumerate(year_fracs):
+        cum = 0.0
+        prev_point = -1  # pv01 = 0 base
+        for j, frac in enumerate(fracs):
+            cum += float(frac)
+            k = key_of(cum)
+            is_final = (j == len(fracs) - 1)
+            if is_final:
+                # Pillar point: exact time is the swap's quoted maturity
+                # time (last coupon date), not the year-frac cumsum
+                # (ois_curve.py:141-148).
+                t_point = float(swap_times[i])
+                points.append(dict(t=t_point, acc=float(frac),
+                                   prev=prev_point, pillar=i))
+                by_key[k] = len(points) - 1
+                prev_point = len(points) - 1
+            else:
+                if k in by_key:
+                    prev_point = by_key[k]
+                else:
+                    points.append(dict(t=cum, acc=float(frac),
+                                       prev=prev_point, pillar=-1))
+                    by_key[k] = len(points) - 1
+                    prev_point = len(points) - 1
+
+    # Sort by time, remapping dependency links.
+    order = sorted(range(len(points)), key=lambda idx: points[idx]["t"])
+    remap = {old: new for new, old in enumerate(order)}
+    sorted_points = [points[old] for old in order]
+
+    point_times = np.array([p["t"] for p in sorted_points])
+    accs = np.array([p["acc"] for p in sorted_points])
+    prev_idx = np.array([remap[p["prev"]] if p["prev"] >= 0 else -1
+                         for p in sorted_points], dtype=np.int32)
+    pillar_idx = np.array([p["pillar"] for p in sorted_points],
+                          dtype=np.int32)
+    pillar_point = np.full(len(swap_times), -1, dtype=np.int32)
+    for idx, p in enumerate(sorted_points):
+        if p["pillar"] >= 0:
+            pillar_point[p["pillar"]] = idx
+
+    # Dependencies must point strictly backward (DAG, no cycles).
+    assert np.all(prev_idx < np.arange(len(sorted_points))), \
+        "bootstrap dependency cycle — check calibration swap ordering"
+
+    # Max chain depth: number of wavefront iterations needed to settle.
+    depths = np.zeros(len(sorted_points), dtype=np.int64)
+    for idx in range(len(sorted_points)):
+        p = prev_idx[idx]
+        depths[idx] = 1 if p < 0 else depths[p] + 1
+    depth = int(depths.max()) if len(sorted_points) else 0
+
+    return OISBootstrapPlan(point_times=point_times, accs=accs,
+                            prev_idx=prev_idx, pillar_idx=pillar_idx,
+                            swap_times=np.asarray(swap_times, dtype=float),
+                            pillar_point=pillar_point, depth=depth)
+
+
+def bootstrap_ois(rates, plan: OISBootstrapPlan):
+    """Solve the bootstrap: pillar rates -> (times, dfs) dense grid.
+
+    Differentiable w.r.t. ``rates``. Returns times/dfs WITH the t=0 node
+    (df=1) prepended.
+
+    Wavefront solve of the linear pv01 recurrence
+        pv01_i = (pv01_prev(i) + acc_i) / (1 + r_i * acc_i):
+    iterate the whole-vector update K times (K = plan.depth); after k
+    iterations every chain of depth <= k has settled, so K iterations give
+    the exact fixed point. Every op is a [P]-shaped VPU op — f64-exact on
+    TPU, unlike a rank-0 scan carry (docs/tpu_f64_notes.md).
+    """
+    rates = jnp.asarray(rates)
+    times = jnp.asarray(plan.point_times)
+    accs = jnp.asarray(plan.accs)
+    prev_idx = jnp.asarray(plan.prev_idx)
+    pillar_idx = jnp.asarray(plan.pillar_idx)
+    swap_times = jnp.asarray(plan.swap_times)
+
+    # Sub-pillar rates: log-linear in the pillar rates
+    # (ois_curve.py:168-173).
+    log_rates = jnp.log(rates)
+    interp_rates = jnp.exp(jnp.interp(times, swap_times, log_rates))
+    point_rates = jnp.where(pillar_idx >= 0, rates[pillar_idx.clip(0)],
+                            interp_rates)
+
+    denom = 1.0 + point_rates * accs            # [P], exact
+    has_prev = prev_idx >= 0
+    gather_idx = prev_idx.clip(0)
+
+    def sweep(pv01, _):
+        prev_pv01 = jnp.where(has_prev, pv01[gather_idx], 0.0)
+        return (prev_pv01 + accs) / denom, None
+
+    pv01 = jnp.zeros_like(point_rates)
+    pv01, _ = lax.scan(sweep, pv01, None, length=max(plan.depth, 1))
+
+    prev_pv01 = jnp.where(has_prev, pv01[gather_idx], 0.0)
+    dfs = (1.0 - point_rates * prev_pv01) / denom
+
+    all_times = jnp.concatenate([jnp.zeros(1, times.dtype), times])
+    all_dfs = jnp.concatenate([jnp.ones(1, dfs.dtype), dfs])
+    return all_times, all_dfs
+
+
+def bootstrap_pillar_dfs(rates, plan: OISBootstrapPlan):
+    """Pillar-maturity DFs only (used for repricing gates)."""
+    _, dfs = bootstrap_ois(rates, plan)
+    return dfs[jnp.asarray(plan.pillar_point) + 1]  # +1 for the t=0 node

@@ -1,0 +1,301 @@
+"""Curve interpolation kernels — pure JAX, differentiable, TPU-ready.
+
+All 8 interpolation schemes of the reference AD stack
+(/root/reference/cavour/market/curves/interpolator_ad.py):
+
+ - FLAT_FWD_RATES      linear in rt = -log(DF)          (piecewise-flat fwd)
+ - LINEAR_ZERO_RATES   linear in r = -log(DF)/t
+ - LINEAR_FWD_RATES    linear in DF itself
+ - PCHIP_LOG_DISCOUNT  monotone Hermite on log(DF)
+ - PCHIP_ZERO_RATES    monotone Hermite on zero rates
+ - NATCUBIC_LOG_DISCOUNT / NATCUBIC_ZERO_RATES  natural cubic spline
+ - FINCUBIC_ZERO_RATES clamped spline (S''(t0)=0, S'(tN)=0)
+
+Design differences from the reference (upgrades, not ports):
+ - PCHIP slopes are computed with vectorized masks instead of a fori_loop
+   (interpolator_ad.py:24-52) — one fused VPU pass, AD-safe 0/0 guards.
+ - Cubic-spline coefficients are solved *in JAX* (tridiagonal system via
+   jnp.linalg.solve) instead of calling scipy (interpolator_ad.py:183),
+   making splines differentiable end-to-end w.r.t. curve DFs.
+ - Everything is a function of arrays; no stateful fit object on the hot
+   path. Scheme dispatch is static so each variant jits to a single XLA
+   computation.
+
+The exact-knot guard of the reference (interpolator_ad.py:214-243) is
+preserved: at grid points the stored DF is returned through lax.select so
+gradients at knots don't become NaN (critical for 1e-10 par refits).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.error import LibError
+from ..utils.global_types import InterpTypes
+from ..utils.global_vars import gSmall
+
+_SIMPLE_SCHEMES = (InterpTypes.FLAT_FWD_RATES, InterpTypes.LINEAR_ZERO_RATES,
+                   InterpTypes.LINEAR_FWD_RATES)
+_PCHIP_SCHEMES = (InterpTypes.PCHIP_LOG_DISCOUNT, InterpTypes.PCHIP_ZERO_RATES)
+_CUBIC_SCHEMES = (InterpTypes.FINCUBIC_ZERO_RATES,
+                  InterpTypes.NATCUBIC_ZERO_RATES,
+                  InterpTypes.NATCUBIC_LOG_DISCOUNT)
+
+
+class InterpAux(NamedTuple):
+    """Precomputed per-curve interpolation state (a pytree).
+
+    For PCHIP schemes: y = transformed knot values, d = Hermite slopes.
+    For cubic schemes: y = transformed knot values, d unused, c = (4, N-1)
+    polynomial coefficients (highest order first, scipy layout).
+    For simple schemes both are empty.
+    """
+    y: Optional[jnp.ndarray] = None
+    d: Optional[jnp.ndarray] = None
+    c: Optional[jnp.ndarray] = None
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def _zero_rates(times, dfs):
+    """Continuously-compounded zero rates with the t=0 node patched to its
+    neighbour (parity: interpolator_ad.py:167-170)."""
+    zero = -jnp.log(dfs) / (times + gSmall)
+    zero = zero.at[0].set(jnp.where(times[0] == 0, zero[1], zero[0]))
+    return zero
+
+
+# ---------------------------------------------------------------------------
+# PCHIP
+# ---------------------------------------------------------------------------
+
+
+def pchip_slopes(x, y):
+    """Shape-preserving Hermite slopes (weighted-harmonic-mean PCHIP).
+
+    Matches the reference recurrence (interpolator_ad.py:24-52): endpoint
+    slopes are the one-sided secants; interior slopes are the weighted
+    harmonic mean of adjacent secants, zero where the secants change sign.
+    Fully vectorized and AD-safe (guarded divisions).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    h = x[1:] - x[:-1]                      # [n-1]
+    m = (y[1:] - y[:-1]) / h                # [n-1] secants
+
+    m0 = m[:-1]                             # secant left of interior node
+    m1 = m[1:]                              # secant right of interior node
+    h0 = h[:-1]
+    h1 = h[1:]
+    cond = (m0 * m1) > 0
+    w1 = 2.0 * h1 + h0
+    w2 = h1 + 2.0 * h0
+    safe_m0 = jnp.where(cond, m0, 1.0)
+    safe_m1 = jnp.where(cond, m1, 1.0)
+    interior = jnp.where(cond, (w1 + w2) / (w1 / safe_m0 + w2 / safe_m1),
+                         0.0)
+    return jnp.concatenate([m[:1], interior, m[-1:]])
+
+
+def hermite_eval(t, x, y, d):
+    """Evaluate the cubic Hermite interpolant at (vector) t."""
+    t = jnp.asarray(t)
+    idx = jnp.clip(jnp.searchsorted(x, t) - 1, 0, x.size - 2)
+    x0 = x[idx]
+    x1 = x[idx + 1]
+    y0 = y[idx]
+    y1 = y[idx + 1]
+    d0 = d[idx]
+    d1 = d[idx + 1]
+    h = x1 - x0
+    s = (t - x0) / h
+    s2 = s * s
+    s3 = s2 * s
+    h00 = 2.0 * s3 - 3.0 * s2 + 1.0
+    h10 = s3 - 2.0 * s2 + s
+    h01 = -2.0 * s3 + 3.0 * s2
+    h11 = s3 - s2
+    return h00 * y0 + h10 * h * d0 + h01 * y1 + h11 * h * d1
+
+
+# ---------------------------------------------------------------------------
+# Cubic splines (JAX-native fit — differentiable, unlike the scipy fit the
+# reference uses)
+# ---------------------------------------------------------------------------
+
+
+def cubic_spline_coeffs(x, y, natural_left: bool = True,
+                        clamped_right: bool = False):
+    """Cubic-spline polynomial coefficients, scipy CubicSpline layout.
+
+    Solves the slope (first-derivative) tridiagonal system with the Thomas
+    algorithm (lax.scan) — differentiable, O(N), and TPU-safe: XLA's f64
+    LuDecomposition is not implemented on TPU, so jnp.linalg.solve cannot
+    sit on the curve path. Boundary conditions:
+      natural_left:  S''(x0) = 0, else nothing special at the left
+      clamped_right: S'(xN) = 0, else natural right (S''(xN) = 0)
+
+    Returns c with shape (4, N-1): S(t) = c0 u^3 + c1 u^2 + c2 u + c3 on
+    [x_i, x_{i+1}], u = t - x_i.
+    """
+    from ..utils.math import solve_tridiagonal
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    h = x[1:] - x[:-1]                      # [n-1]
+    m = (y[1:] - y[:-1]) / h                # [n-1]
+
+    # Tridiagonal system for the knot slopes s (size n):
+    # interior rows enforce C2 continuity, boundary rows encode the BCs.
+    inv_h = 1.0 / h
+    lower = jnp.concatenate([jnp.zeros(1, x.dtype), inv_h[:-1],
+                             jnp.ones(1, x.dtype)])
+    diag = jnp.concatenate([2.0 * jnp.ones(1, x.dtype),
+                            2.0 * (inv_h[:-1] + inv_h[1:]),
+                            2.0 * jnp.ones(1, x.dtype)])
+    upper = jnp.concatenate([jnp.ones(1, x.dtype), inv_h[1:],
+                             jnp.zeros(1, x.dtype)])
+    rhs = jnp.concatenate([3.0 * m[:1],
+                           3.0 * (m[:-1] * inv_h[:-1] + m[1:] * inv_h[1:]),
+                           3.0 * m[-1:]])
+    if clamped_right:
+        lower = lower.at[n - 1].set(0.0)
+        diag = diag.at[n - 1].set(1.0)
+        rhs = rhs.at[n - 1].set(0.0)
+
+    s = solve_tridiagonal(lower, diag, upper, rhs)
+
+    s0 = s[:-1]
+    s1 = s[1:]
+    c3 = y[:-1]
+    c2 = s0
+    c1 = (3.0 * m - 2.0 * s0 - s1) / h
+    c0 = (s0 + s1 - 2.0 * m) / (h * h)
+    return jnp.stack([c0, c1, c2, c3])
+
+
+def cubic_eval(t, x, c):
+    """Evaluate a piecewise cubic with coefficients (4, N-1) at vector t."""
+    t = jnp.asarray(t)
+    idx = jnp.clip(jnp.searchsorted(x, t) - 1, 0, x.size - 2)
+    u = t - x[idx]
+    return ((c[0, idx] * u + c[1, idx]) * u + c[2, idx]) * u + c[3, idx]
+
+
+# ---------------------------------------------------------------------------
+# Simple schemes with the exact-knot AD guard
+# ---------------------------------------------------------------------------
+
+
+def simple_df(t, times, dfs, interp_type: InterpTypes):
+    """DF(t) for the three simple schemes, vectorized over t.
+
+    Parity with the reference's jitted kernel (interpolator_ad.py:186-249):
+    the evaluation point is nudged by +1e-12, endpoints clamp (constant
+    extrapolation in transform space via jnp.interp), and exact grid points
+    return the stored DF through lax.select so knot gradients stay finite.
+    """
+    t = jnp.asarray(t)
+    x = jnp.asarray(times)
+    d = jnp.asarray(dfs)
+    scalar = (t.ndim == 0)
+    tt = jnp.atleast_1d(t)
+    padded = tt.shape[0] == 1
+    if padded:
+        tt = jnp.concatenate([tt, tt])  # TPU f64: no 1-element fused chains
+
+    # interpolated value away from knots
+    eps = 1e-12
+    tt_adj = tt + eps
+    if interp_type == InterpTypes.LINEAR_ZERO_RATES:
+        r = -jnp.log(d) / jnp.maximum(x, 1e-15)
+        interp_val = jnp.exp(-jnp.interp(tt_adj, x, r) * tt)
+    elif interp_type == InterpTypes.FLAT_FWD_RATES:
+        rt = -jnp.log(d)
+        interp_val = jnp.exp(-jnp.interp(tt_adj, x, rt))
+    elif interp_type == InterpTypes.LINEAR_FWD_RATES:
+        interp_val = jnp.interp(tt_adj, x, d)
+    else:
+        raise LibError("Invalid interpolation scheme.")
+
+    # exact-knot guard
+    dist = jnp.abs(tt[:, None] - x[None, :])          # [T, N]
+    grid_idx = jnp.argmin(dist, axis=1)
+    at_grid = jnp.min(dist, axis=1) < 1e-10
+    out = lax.select(at_grid, d[grid_idx], interp_val)
+    if padded:
+        out = out[:1]
+    return out[0] if scalar else out
+
+
+# ---------------------------------------------------------------------------
+# Unified fit + eval
+# ---------------------------------------------------------------------------
+
+
+def interp_fit(times, dfs, interp_type: InterpTypes) -> InterpAux:
+    """Precompute scheme-specific state for a curve. Pure, differentiable."""
+    x = jnp.asarray(times)
+    d = jnp.asarray(dfs)
+    if x.size == 1 or interp_type in _SIMPLE_SCHEMES:
+        return InterpAux()
+    if interp_type == InterpTypes.PCHIP_LOG_DISCOUNT:
+        y = jnp.log(d)
+        return InterpAux(y=y, d=pchip_slopes(x, y))
+    if interp_type == InterpTypes.PCHIP_ZERO_RATES:
+        y = _zero_rates(x, d)
+        return InterpAux(y=y, d=pchip_slopes(x, y))
+    if interp_type == InterpTypes.NATCUBIC_LOG_DISCOUNT:
+        y = jnp.log(d)
+        return InterpAux(y=y, c=cubic_spline_coeffs(x, y))
+    if interp_type == InterpTypes.NATCUBIC_ZERO_RATES:
+        y = _zero_rates(x, d)
+        return InterpAux(y=y, c=cubic_spline_coeffs(x, y))
+    if interp_type == InterpTypes.FINCUBIC_ZERO_RATES:
+        y = _zero_rates(x, d)
+        return InterpAux(y=y, c=cubic_spline_coeffs(x, y,
+                                                    clamped_right=True))
+    raise LibError("Invalid interpolation scheme " + str(interp_type))
+
+
+def interp_df(t, times, dfs, interp_type: InterpTypes,
+              aux: InterpAux = None):
+    """DF(t) under any scheme. ``aux`` from :func:`interp_fit` (required for
+    PCHIP/cubic; recomputed on the fly if omitted).
+
+    Single-element queries are padded to two elements internally: fused f64
+    elementwise chains on ()/(1,) shapes silently run at f32 precision on
+    TPU (docs/tpu_f64_notes.md rule 2).
+    """
+    t = jnp.asarray(t)
+    x = jnp.asarray(times)
+    scalar = (t.ndim == 0)
+    tt = jnp.atleast_1d(t)
+    padded = tt.shape[0] == 1
+    if padded:
+        tt = jnp.concatenate([tt, tt])
+
+    if interp_type in _SIMPLE_SCHEMES:
+        out = simple_df(tt, x, dfs, interp_type)
+    else:
+        if aux is None or (aux.d is None and aux.c is None):
+            aux = interp_fit(x, dfs, interp_type)
+        if interp_type == InterpTypes.PCHIP_LOG_DISCOUNT:
+            out = jnp.exp(hermite_eval(tt, x, aux.y, aux.d))
+        elif interp_type == InterpTypes.PCHIP_ZERO_RATES:
+            out = jnp.exp(-tt * hermite_eval(tt, x, aux.y, aux.d))
+        elif interp_type == InterpTypes.NATCUBIC_LOG_DISCOUNT:
+            out = jnp.exp(cubic_eval(tt, x, aux.c))
+        else:  # zero-rate cubics
+            out = jnp.exp(-tt * cubic_eval(tt, x, aux.c))
+    if padded:
+        out = out[:1]
+    return out[0] if scalar else out

@@ -1,0 +1,4 @@
+from .results import (AnalyticsResult, CashflowItem, Cashflows, CrossGamma,
+                      Delta, Gamma, Ladder, Risk, Valuation, Value)
+from .results_base import (AggregationMixin, ArithmeticMixin, BaseResult,
+                           ExportMixin, ValidationMixin, VisualizationMixin)

@@ -100,36 +100,46 @@ def cholesky(a):
 
 
 def solve_tridiagonal(lower, diag, upper, rhs):
-    """Thomas algorithm via lax.scan; differentiable, O(n).
+    """Tridiagonal solve via parallel cyclic reduction (PCR).
 
-    lower[0] and upper[-1] are ignored. All inputs length n.
+    lower[0] and upper[-1] are ignored. All inputs length n. log2(n)
+    whole-vector elimination steps — differentiable, and f64-exact on TPU
+    where a scalar Thomas scan would silently run at f32 precision and
+    XLA's f64 LU is unimplemented (docs/tpu_f64_notes.md rules 3-4).
     """
-    lower = jnp.asarray(lower)
-    diag = jnp.asarray(diag)
-    upper = jnp.asarray(upper)
-    rhs = jnp.asarray(rhs)
+    a = jnp.asarray(lower)
+    b = jnp.asarray(diag)
+    c = jnp.asarray(upper)
+    d = jnp.asarray(rhs)
+    n = b.shape[0]
+    a = a.at[0].set(0.0)
+    c = c.at[n - 1].set(0.0)
 
-    def fwd(carry, inp):
-        cp_prev, dp_prev = carry
-        a, b, c, d = inp
-        denom = b - a * cp_prev
-        cp = c / denom
-        dp = (d - a * dp_prev) / denom
-        return (cp, dp), (cp, dp)
+    import math as _math
+    steps = max(1, _math.ceil(_math.log2(n))) if n > 1 else 0
 
-    a0 = jnp.concatenate([jnp.zeros(1, lower.dtype), lower[1:]])
-    (_, _), (cps, dps) = jax.lax.scan(
-        fwd, (jnp.zeros((), diag.dtype), jnp.zeros((), diag.dtype)),
-        (a0, diag, upper, rhs))
+    def shift_up(x, fill=0.0):    # x[i-stride]
+        return jnp.concatenate([jnp.full(stride, fill, x.dtype),
+                                x[:-stride]])
 
-    def bwd(x_next, inp):
-        cp, dp = inp
-        x = dp - cp * x_next
-        return x, x
+    def shift_dn(x, fill=0.0):    # x[i+stride]
+        return jnp.concatenate([x[stride:],
+                                jnp.full(stride, fill, x.dtype)])
 
-    _, xs = jax.lax.scan(bwd, jnp.zeros((), diag.dtype), (cps, dps),
-                         reverse=True)
-    return xs
+    stride = 1
+    for _ in range(steps):
+        b_up = shift_up(b, 1.0)
+        b_dn = shift_dn(b, 1.0)
+        alpha = -a / b_up
+        gamma = -c / b_dn
+        a_new = alpha * shift_up(a)
+        b_new = b + alpha * shift_up(c) + gamma * shift_dn(a)
+        c_new = gamma * shift_dn(c)
+        d_new = d + alpha * shift_up(d) + gamma * shift_dn(d)
+        a, b, c, d = a_new, b_new, c_new, d_new
+        stride *= 2
+
+    return d / b
 
 
 def npv(times, amounts, rate):

@@ -4,12 +4,19 @@ x64 before JAX initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU terminal ignores the JAX_PLATFORMS env var — the
+# platform must be forced through jax.config before first use
+# (docs/tpu_f64_notes.md). Set ADRATES_TEST_TPU=1 to run on the real chip.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax
+
+if not os.environ.get("ADRATES_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import pytest
 
