@@ -1,10 +1,232 @@
-"""Bond / FRN engine paths (full implementation in the credit phase)."""
+"""Bond / FRN engine paths: AD delta ladders and gamma matrices vs the
+currency-default OIS curve.
+
+Parity: /root/reference/cavour/market/position/engine.py (_compute_bond
+505-698, _compute_frn 700-984: bond = fixed-leg kernel on the currency OIS
+curve; FRN = float-leg kernel + principal, single-curve delta/gamma only —
+the dual-curve FRN risk raises in the reference, engine.py:925-928; here it
+is implemented: when projection and discounting curves differ the ladders
+are reported against each curve separately).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.bootstrap import bootstrap_ois
+from ...ops.pricers import FixedLegTensor, FloatLegTensor, pv_fixed_leg, \
+    pv_float_leg
+from ...requests.results import (AnalyticsResult, CashflowItem, Cashflows,
+                                 Delta, Gamma, Risk, Valuation)
+from ...utils.currency import CurrencyTypes
 from ...utils.error import LibError
+from ...utils.global_types import CurveTypes, RequestTypes
+from ...utils.helpers import times_from_dates, to_tenor
+
+_DEFAULT_OIS = {
+    CurrencyTypes.GBP: "GBP_OIS_SONIA",
+    CurrencyTypes.USD: "USD_OIS_SOFR",
+    CurrencyTypes.EUR: "EUR_OIS_ESTR",
+}
 
 
-def compute_bond(engine, derivative, reqs):
-    raise LibError("Bond engine path not yet wired")
+def _default_curve(engine, currency):
+    if currency not in _DEFAULT_OIS:
+        raise LibError(f"No default OIS curve for currency {currency}")
+    name = _DEFAULT_OIS[currency]
+    return name, getattr(engine.model.curves, name)
 
 
-def compute_frn(engine, derivative, reqs):
-    raise LibError("FRN engine path not yet wired")
+def _bond_tensor(bond, value_dt) -> FixedLegTensor:
+    """Compile a bond to a fixed-leg tensor: coupons (+ amortizing
+    principal repayments) as the payment vector, bullet principal on the
+    final row.
+
+    Times use ACT_ACT_ISDA — the default Bond.value() uses for its DF
+    queries — so engine and direct valuations agree exactly. (The
+    reference engine converts with the bond's own day count while the
+    direct path uses the df() default, engine.py:546-549 vs bond.py:291 —
+    an internal inconsistency we don't copy.)
+    """
+    from ...utils.day_count import DayCountTypes
+    dc = DayCountTypes.ACT_ACT_ISDA
+    payment_times = jnp.asarray(
+        times_from_dates(bond._payment_dts, value_dt, dc))
+    amounts = np.array(bond._coupon_payments, dtype=float)
+    if bond._is_amortizing:
+        amounts = amounts + np.array(bond._principal_payments, dtype=float)
+        principal = 0.0
+    else:
+        principal = bond._face_value
+    return FixedLegTensor(
+        payment_times=payment_times,
+        payments=jnp.asarray(amounts),
+        principal=jnp.asarray(principal),
+        leg_sign=jnp.asarray(1.0),  # investor receives
+        value_time=jnp.asarray(times_from_dates(value_dt, value_dt, dc)))
+
+
+def compute_bond(engine, derivative, reqs) -> AnalyticsResult:
+    curve_name, curve = _default_curve(engine, derivative._currency)
+    value_dt = curve._value_dt
+    tensor = _bond_tensor(derivative, value_dt)
+
+    raw = engine._swap_analytics(curve, tensor, None, reqs)
+    out = engine._package_outputs(raw, reqs, derivative._currency,
+                                  CurveTypes[curve_name], curve.swap_times)
+
+    cashflows = None
+    if RequestTypes.CASHFLOWS in reqs:
+        derivative.value(value_dt, curve)
+        items = []
+        for i, dt in enumerate(derivative._payment_dts):
+            items.append(CashflowItem(
+                payment_date=dt,
+                notional=float(derivative._principal_schedule[i]),
+                payment_fraction=derivative._coupon,
+                accrual_period=float(derivative._year_fracs[i]),
+                amount=float(derivative._coupon_payments[i]),
+                discount_factor=float(derivative._payment_dfs[i]),
+                discounted_amount=float(derivative._coupon_pvs[i]),
+                leg_type="Fixed_Coupon"))
+            prin_pv = derivative._principal_pvs[i]
+            prin_amt = derivative._principal_payments[i] \
+                if derivative._is_amortizing else \
+                (derivative._face_value
+                 if i == len(derivative._payment_dts) - 1 else 0.0)
+            if prin_amt > 0:
+                items.append(CashflowItem(
+                    payment_date=dt, notional=float(prin_amt),
+                    payment_fraction=1.0, accrual_period=0.0,
+                    amount=float(prin_amt),
+                    discount_factor=float(derivative._payment_dfs[i]),
+                    discounted_amount=float(prin_pv),
+                    leg_type="Principal"))
+        cashflows = Cashflows(items, derivative._currency)
+
+    return AnalyticsResult(value=out.get("value"), risk=out.get("delta"),
+                           gamma=out.get("gamma"), cashflows=cashflows)
+
+
+def _frn_tensor(frn, value_dt) -> FloatLegTensor:
+    dc = frn._dc_type
+    n = frn._num_coupons
+    override = frn._first_fixing_rate is not None
+    has_cap_floor = frn._cap_rate is not None or frn._floor_rate is not None
+    return FloatLegTensor(
+        payment_times=jnp.asarray(
+            times_from_dates(frn._payment_dts, value_dt, dc)),
+        start_times=jnp.asarray(
+            times_from_dates(frn._start_accrued_dts, value_dt, dc)),
+        end_times=jnp.asarray(
+            times_from_dates(frn._end_accrued_dts, value_dt, dc)),
+        pay_alphas=jnp.asarray(np.array(frn._year_fracs)),
+        spreads=jnp.full(n, frn._quoted_margin),
+        notionals=jnp.full(n, float(frn._face_value)),
+        principal=jnp.asarray(float(frn._face_value)),
+        leg_sign=jnp.asarray(1.0),
+        value_time=jnp.asarray(times_from_dates(value_dt, value_dt, dc)),
+        first_fixing_rate=jnp.asarray(frn._first_fixing_rate
+                                      if override else 0.0),
+        notional_exchange_amount=jnp.asarray(0.0),
+        effective_time=jnp.asarray(0.0),
+        maturity_time=jnp.asarray(0.0),
+        cap_rate=jnp.asarray(frn._cap_rate if frn._cap_rate is not None
+                             else jnp.inf),
+        floor_rate=jnp.asarray(frn._floor_rate
+                               if frn._floor_rate is not None else -jnp.inf),
+        override_first=override,
+        notional_exchange=False,
+        has_cap_floor=has_cap_floor)
+
+
+def compute_frn(engine, derivative, reqs) -> AnalyticsResult:
+    disc_name, disc_curve = _default_curve(engine, derivative._currency)
+    idx_name = derivative._floating_index.name
+    idx_curve = getattr(engine.model.curves, idx_name)
+    value_dt = disc_curve._value_dt
+    tensor = _frn_tensor(derivative, value_dt)
+    single_curve = idx_name == disc_name
+
+    out = {}
+    if single_curve:
+        raw = engine._swap_analytics(disc_curve, None, tensor, reqs)
+        out = engine._package_outputs(raw, reqs, derivative._currency,
+                                      CurveTypes[disc_name],
+                                      disc_curve.swap_times)
+        value = out.get("value")
+        risk = out.get("delta")
+        gamma = out.get("gamma")
+    else:
+        # Dual-curve FRN: ladders against BOTH curves from one jacrev over
+        # the concatenated quote vector (reference raises here,
+        # engine.py:925-928 — implemented as an upgrade).
+        disc_plan = disc_curve._plan
+        idx_plan = idx_curve._plan
+        disc_it = disc_curve._interp_type
+        idx_it = idx_curve._interp_type
+        n_disc = len(disc_curve.swap_rates)
+
+        def pv_fn(all_rates):
+            d_rates = all_rates[:n_disc]
+            i_rates = all_rates[n_disc:]
+            d_times, d_dfs = bootstrap_ois(d_rates, disc_plan)
+            i_times, i_dfs = bootstrap_ois(i_rates, idx_plan)
+            return pv_float_leg(d_dfs, d_times, disc_it, tensor,
+                                idx_dfs=i_dfs, idx_times=i_times,
+                                idx_interp_type=idx_it)
+
+        all_rates = jnp.concatenate([jnp.asarray(disc_curve.swap_rates),
+                                     jnp.asarray(idx_curve.swap_rates)])
+        value = risk = gamma = None
+        if RequestTypes.VALUE in reqs:
+            value = Valuation(float(jax.jit(pv_fn)(all_rates)),
+                              derivative._currency)
+        if RequestTypes.DELTA in reqs:
+            lad = np.asarray(jax.jit(jax.jacrev(pv_fn))(all_rates)) * 1e-4
+            risk = Risk([
+                Delta(lad[:n_disc], to_tenor(list(disc_curve.swap_times)),
+                      derivative._currency, CurveTypes[disc_name]),
+                Delta(lad[n_disc:], to_tenor(list(idx_curve.swap_times)),
+                      derivative._currency, CurveTypes[idx_name])])
+        if RequestTypes.GAMMA in reqs:
+            g = np.asarray(
+                jax.jit(jax.jacfwd(jax.jacrev(pv_fn)))(all_rates)) * 1e-8
+            gamma = Risk([
+                Gamma(g[:n_disc, :n_disc],
+                      to_tenor(list(disc_curve.swap_times)),
+                      derivative._currency, CurveTypes[disc_name]),
+                Gamma(g[n_disc:, n_disc:],
+                      to_tenor(list(idx_curve.swap_times)),
+                      derivative._currency, CurveTypes[idx_name])])
+
+    cashflows = None
+    if RequestTypes.CASHFLOWS in reqs:
+        derivative.value(value_dt, disc_curve, idx_curve)
+        items = []
+        for i, dt in enumerate(derivative._payment_dts):
+            if abs(derivative._coupon_payments[i]) > 1e-10:
+                items.append(CashflowItem(
+                    payment_date=dt, notional=derivative._face_value,
+                    payment_fraction=float(derivative._rates[i]),
+                    accrual_period=float(derivative._year_fracs[i]),
+                    amount=float(derivative._coupon_payments[i]),
+                    discount_factor=float(derivative._payment_dfs[i]),
+                    discounted_amount=float(derivative._coupon_payments[i]
+                                            * derivative._payment_dfs[i]),
+                    leg_type="Floating_Coupon"))
+            if i == len(derivative._payment_dts) - 1:
+                df = derivative._payment_dfs[i]
+                items.append(CashflowItem(
+                    payment_date=dt, notional=derivative._face_value,
+                    payment_fraction=1.0, accrual_period=0.0,
+                    amount=float(derivative._face_value),
+                    discount_factor=float(df),
+                    discounted_amount=float(derivative._face_value * df),
+                    leg_type="Principal"))
+        cashflows = Cashflows(items, derivative._currency)
+
+    return AnalyticsResult(value=value, risk=risk, gamma=gamma,
+                           cashflows=cashflows)

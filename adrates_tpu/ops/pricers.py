@@ -131,12 +131,15 @@ def pv_float_leg(dfs, times, disc_interp_type: InterpTypes,
         first_mask = jnp.arange(n) == 0
         fwd = jnp.where(first_mask, leg.first_fixing_rate, fwd)
 
+    # Cap/floor clamps the ALL-IN rate (fwd + margin), FRN convention
+    # (reference frn.py:293-298).
+    rate = fwd + leg.spreads
     if leg.has_cap_floor:
-        fwd = jnp.clip(fwd, leg.floor_rate, leg.cap_rate)
+        rate = jnp.clip(rate, leg.floor_rate, leg.cap_rate)
 
     # Principal rides on the final payment row; everything stays vectorized.
     last = jnp.arange(n) == n - 1
-    cf_amounts = (fwd + leg.spreads) * leg.pay_alphas * leg.notionals \
+    cf_amounts = rate * leg.pay_alphas * leg.notionals \
         + jnp.where(last, leg.principal, 0.0)
 
     valid = leg.payment_times >= leg.value_time

@@ -1,0 +1,4 @@
+from .book import (BookAggregate, BookTensors, aggregate_book,
+                   aggregate_total_pv, book_analytics, book_pvs,
+                   compile_book, make_book_fn, make_pershard_aggregate_fn,
+                   make_sharded_book_fn, shard_book, tile_book)

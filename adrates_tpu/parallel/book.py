@@ -1,0 +1,395 @@
+"""Book-scale batched pricing: vmapped trades, scenario grids, mesh sharding.
+
+The reference has no batch dimension anywhere — Portfolio.compute is a
+Python loop (portfolio.py:39-66) and scenario() rebuilds a Model per shock
+(models.py:507-557). Here the book IS the tensor:
+
+ - at compile time every trade's payment/accrual dates collapse into ONE
+   sorted unique-time grid; trades hold int32 indices into it. Pricing a
+   whole book is then: one bootstrap, one interpolation over the unique
+   grid (O(U), not O(B x P)), and per-trade gathers + fused VPU arithmetic;
+ - scenario grids vmap over a shock matrix on top;
+ - the trade axis shards over a jax.sharding.Mesh: each device prices its
+   slice and portfolio aggregates ride ICI psum under GSPMD.
+
+Everything is f64-vector-shaped per docs/tpu_f64_notes.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.bootstrap import OISBootstrapPlan, bootstrap_ois
+from ..ops.interpolation import interp_df, interp_fit
+from ..utils.global_types import InterpTypes
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BookTensors:
+    """A whole book as padded index/amount arrays. B trades x P slots.
+
+    unique_times [U] is the shared payment/accrual time grid; *_idx arrays
+    are int32 indices into it. Padded slots point at index 0 with zero
+    amounts and mask=0.
+    """
+    unique_times: jnp.ndarray        # [U]
+    # fixed side
+    fix_idx: jnp.ndarray             # [B, P] int32 payment-time index
+    fix_payments: jnp.ndarray        # [B, P] signed coupon amounts
+    fix_mask: jnp.ndarray            # [B, P] 1.0 live / 0.0 padded-or-past
+    # float side
+    flt_pay_idx: jnp.ndarray         # [B, P] int32
+    flt_start_idx: jnp.ndarray       # [B, P] int32
+    flt_end_idx: jnp.ndarray         # [B, P] int32
+    flt_pay_alphas: jnp.ndarray      # [B, P]
+    flt_spreads: jnp.ndarray         # [B, P]
+    flt_notionals: jnp.ndarray       # [B, P] signed notionals
+    flt_mask: jnp.ndarray            # [B, P]
+
+    @property
+    def num_trades(self) -> int:
+        return self.fix_idx.shape[0]
+
+
+class _TimeInterner:
+    """Host-side dedupe of payment times into one sorted grid."""
+
+    def __init__(self):
+        self._by_key = {}
+        self._times = []
+
+    def add(self, t: float) -> int:
+        key = round(float(t), 12)
+        idx = self._by_key.get(key)
+        if idx is None:
+            idx = len(self._times)
+            self._by_key[key] = idx
+            self._times.append(float(t))
+        return idx
+
+    def finish(self):
+        """Sort the grid, return (times [U], remap old->new)."""
+        order = np.argsort(np.asarray(self._times))
+        remap = np.empty(len(order), dtype=np.int32)
+        remap[order] = np.arange(len(order), dtype=np.int32)
+        return np.asarray(self._times)[order], remap
+
+
+def compile_book(swaps, value_dt, pad_to: Optional[int] = None
+                 ) -> BookTensors:
+    """Compile a list of OIS products into one indexed BookTensors.
+
+    Only future payments (time > 0) are marked live; pricing assumes the
+    curve's anchor (t=0) is the valuation date.
+    """
+    fixed = [s._fixed_leg.tensor(value_dt) for s in swaps]
+    flt = [s._float_leg.tensor(value_dt) for s in swaps]
+    P_max = pad_to or max(max(t.payment_times.shape[0] for t in fixed),
+                          max(t.payment_times.shape[0] for t in flt))
+
+    interner = _TimeInterner()
+    interner.add(0.0)  # always include the anchor
+
+    def pad_idx(times):
+        t = np.asarray(times)
+        idx = np.zeros(P_max, dtype=np.int32)
+        for j, tv in enumerate(t):
+            idx[j] = interner.add(tv)
+        return idx, t.shape[0]
+
+    def pad_val(vec, n=None, fill=0.0):
+        v = np.asarray(vec, dtype=np.float64)
+        out = np.full(P_max, fill, dtype=np.float64)
+        out[:v.shape[0]] = v
+        return out
+
+    rows = dict(fix_idx=[], fix_payments=[], fix_mask=[], flt_pay_idx=[],
+                flt_start_idx=[], flt_end_idx=[], flt_pay_alphas=[],
+                flt_spreads=[], flt_notionals=[], flt_mask=[])
+    for ft, lt in zip(fixed, flt):
+        fsign = float(ft.leg_sign)
+        lsign = float(lt.leg_sign)
+
+        f_idx, f_n = pad_idx(ft.payment_times)
+        mask = np.zeros(P_max)
+        mask[:f_n] = (np.asarray(ft.payment_times) > 0.0).astype(float)
+        rows["fix_idx"].append(f_idx)
+        rows["fix_payments"].append(pad_val(np.asarray(ft.payments) * fsign))
+        rows["fix_mask"].append(mask)
+
+        p_idx, p_n = pad_idx(lt.payment_times)
+        s_idx, _ = pad_idx(lt.start_times)
+        e_idx, _ = pad_idx(lt.end_times)
+        mask = np.zeros(P_max)
+        mask[:p_n] = (np.asarray(lt.payment_times) >= 0.0).astype(float)
+        # padded slots must be dead even though payment_time default is 0
+        mask[p_n:] = 0.0
+        rows["flt_pay_idx"].append(p_idx)
+        rows["flt_start_idx"].append(s_idx)
+        rows["flt_end_idx"].append(e_idx)
+        rows["flt_pay_alphas"].append(pad_val(lt.pay_alphas))
+        rows["flt_spreads"].append(pad_val(lt.spreads))
+        rows["flt_notionals"].append(
+            pad_val(np.asarray(lt.notionals) * lsign))
+        rows["flt_mask"].append(mask)
+
+    unique_times, remap = interner.finish()
+    out = {}
+    for k, v in rows.items():
+        arr = np.stack(v)
+        if k.endswith("_idx") or k in ("fix_idx",):
+            arr = remap[arr]
+            out[k] = jnp.asarray(arr.astype(np.int32))
+        else:
+            out[k] = jnp.asarray(arr)
+    return BookTensors(unique_times=jnp.asarray(unique_times), **out)
+
+
+def tile_book(base: BookTensors, n_copies: int, coupon_scale=None,
+              notional_scale=None) -> BookTensors:
+    """Scale a compiled book up by tiling with per-copy coupon/notional
+    multipliers (books share schedules; amounts differ)."""
+    if coupon_scale is None:
+        coupon_scale = np.ones(n_copies)
+    if notional_scale is None:
+        notional_scale = np.ones(n_copies)
+
+    def tile(x, scale_vec=None):
+        x = np.asarray(x)
+        tiled = np.tile(x, (n_copies, 1))
+        if scale_vec is not None:
+            reps = np.repeat(np.asarray(scale_vec, dtype=np.float64),
+                             x.shape[0])
+            tiled = tiled * reps[:, None]
+        return jnp.asarray(tiled)
+
+    return BookTensors(
+        unique_times=base.unique_times,
+        fix_idx=tile(base.fix_idx),
+        fix_payments=tile(base.fix_payments, coupon_scale),
+        fix_mask=tile(base.fix_mask),
+        flt_pay_idx=tile(base.flt_pay_idx),
+        flt_start_idx=tile(base.flt_start_idx),
+        flt_end_idx=tile(base.flt_end_idx),
+        flt_pay_alphas=tile(base.flt_pay_alphas),
+        flt_spreads=tile(base.flt_spreads),
+        flt_notionals=tile(base.flt_notionals, notional_scale),
+        flt_mask=tile(base.flt_mask))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def book_pvs(rates, plan: OISBootstrapPlan, interp_type: InterpTypes,
+             book: BookTensors):
+    """Per-trade PVs [B]: one bootstrap, one interpolation over the unique
+    grid, per-trade gathers + fused arithmetic."""
+    times, dfs = bootstrap_ois(rates, plan)
+    aux = interp_fit(times, dfs, interp_type)
+    dfs_u = interp_df(book.unique_times, times, dfs, interp_type, aux)
+
+    # fixed side
+    fix_pv = jnp.sum(book.fix_payments * dfs_u[book.fix_idx]
+                     * book.fix_mask, axis=1)
+
+    # float side: fwd = (df_s/df_e - 1)/alpha
+    df_s = dfs_u[book.flt_start_idx]
+    df_e = dfs_u[book.flt_end_idx]
+    df_p = dfs_u[book.flt_pay_idx]
+    fwd = jnp.where(book.flt_pay_alphas > 0.0,
+                    (df_s / df_e - 1.0) / book.flt_pay_alphas, 0.0)
+    cf = (fwd + book.flt_spreads) * book.flt_pay_alphas * book.flt_notionals
+    flt_pv = jnp.sum(cf * df_p * book.flt_mask, axis=1)
+    return fix_pv + flt_pv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BookAggregate:
+    """The book's TOTAL PV collapsed onto the unique-time grid.
+
+    Fixed coupons (and float spread legs) are linear in the discount
+    factors: they aggregate to one weight per unique time. Float forward
+    terms group by (start, end, pay) index triples:
+
+      total = sum_u w_lin[u] * df[u]
+            + sum_t w_trip[t] * (df[s_t]/df[e_t] - 1) * df[p_t]
+
+    U and T are both tiny (hundreds) regardless of book size, so delta
+    ladders and gamma matrices of the whole book cost the same as one
+    trade's — this is where AD beats the reference's per-trade loop by
+    construction, not just by vectorization.
+    """
+    w_lin: jnp.ndarray       # [U]
+    trip_s: jnp.ndarray      # [T] int32
+    trip_e: jnp.ndarray      # [T] int32
+    trip_p: jnp.ndarray      # [T] int32
+    trip_w: jnp.ndarray      # [T]
+    unique_times: jnp.ndarray  # [U]
+
+
+def aggregate_book(book: BookTensors) -> BookAggregate:
+    """Collapse a book to its aggregate-PV weights (host-side groupby)."""
+    U = int(book.unique_times.shape[0])
+
+    fix_idx = np.asarray(book.fix_idx).ravel()
+    fix_w = (np.asarray(book.fix_payments)
+             * np.asarray(book.fix_mask)).ravel()
+    w_lin = np.bincount(fix_idx, weights=fix_w, minlength=U)
+
+    # float spread component: spread * alpha * notional at the pay index
+    flt_pay = np.asarray(book.flt_pay_idx).ravel()
+    spread_w = (np.asarray(book.flt_spreads)
+                * np.asarray(book.flt_pay_alphas)
+                * np.asarray(book.flt_notionals)
+                * np.asarray(book.flt_mask)).ravel()
+    w_lin += np.bincount(flt_pay, weights=spread_w, minlength=U)
+
+    # float forward component: notional * (df_s/df_e - 1) * df_p
+    s = np.asarray(book.flt_start_idx).ravel()
+    e = np.asarray(book.flt_end_idx).ravel()
+    p = flt_pay
+    w = (np.asarray(book.flt_notionals) * np.asarray(book.flt_mask)).ravel()
+    live = w != 0.0
+    key = (s[live].astype(np.int64) * U + e[live]) * U + p[live]
+    uniq, inverse = np.unique(key, return_inverse=True)
+    trip_w = np.bincount(inverse, weights=w[live])
+    trip_p = (uniq % U).astype(np.int32)
+    trip_e = ((uniq // U) % U).astype(np.int32)
+    trip_s = (uniq // (U * U)).astype(np.int32)
+
+    return BookAggregate(w_lin=jnp.asarray(w_lin),
+                         trip_s=jnp.asarray(trip_s),
+                         trip_e=jnp.asarray(trip_e),
+                         trip_p=jnp.asarray(trip_p),
+                         trip_w=jnp.asarray(trip_w),
+                         unique_times=book.unique_times)
+
+
+def aggregate_total_pv(rates, plan: OISBootstrapPlan,
+                       interp_type: InterpTypes, agg: BookAggregate):
+    """Total book PV from the aggregated weights — O(U + T)."""
+    times, dfs = bootstrap_ois(rates, plan)
+    aux = interp_fit(times, dfs, interp_type)
+    dfs_u = interp_df(agg.unique_times, times, dfs, interp_type, aux)
+    lin = jnp.sum(agg.w_lin * dfs_u)
+    trip = jnp.sum(agg.trip_w
+                   * (dfs_u[agg.trip_s] / dfs_u[agg.trip_e] - 1.0)
+                   * dfs_u[agg.trip_p])
+    return lin + trip
+
+
+def book_analytics(rates, plan, interp_type, book, shocks=None):
+    """(pvs [S,B], delta [S,N], gamma [S,N,N]) over a scenario shock
+    matrix (shocks [S,N] in rate units; None = single base scenario)."""
+    rates = jnp.asarray(rates)
+    if shocks is None:
+        shocks = jnp.zeros((1, rates.shape[0]))
+
+    def one_scenario(shock):
+        r = rates + shock
+        pvs = book_pvs(r, plan, interp_type, book)
+        total = lambda rr: jnp.sum(book_pvs(rr, plan, interp_type, book))
+        delta = jax.jacrev(total)(r)
+        gamma = jax.jacfwd(jax.jacrev(total))(r)
+        return pvs, delta, gamma
+
+    return jax.vmap(one_scenario)(jnp.asarray(shocks))
+
+
+def make_book_fn(plan, interp_type, want_gamma: bool = True):
+    """Jitted (rates, book, agg, shocks) -> dict of book analytics.
+
+    Per-trade PVs come from the gather kernel; book-level delta/gamma come
+    from the aggregated total (identical by construction, tested), so the
+    AD graph never differentiates through the [B, P] gathers.
+    """
+
+    @jax.jit
+    def fn(rates, book, agg, shocks):
+        def one_scenario(shock):
+            r = rates + shock
+            pvs = book_pvs(r, plan, interp_type, book)
+            total = lambda rr: aggregate_total_pv(rr, plan, interp_type,
+                                                  agg)
+            delta = jax.jacrev(total)(r)
+            out = {"pvs": pvs, "delta": delta}
+            if want_gamma:
+                out["gamma"] = jax.jacfwd(jax.jacrev(total))(r)
+            return out
+        return jax.vmap(one_scenario)(shocks)
+
+    return fn
+
+
+def shard_book(book: BookTensors, mesh: Mesh, axis: str = "book"
+               ) -> BookTensors:
+    """Place a book with its trade axis sharded across the mesh (the
+    shared unique-time grid is replicated)."""
+    shard = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+    return BookTensors(
+        unique_times=jax.device_put(book.unique_times, repl),
+        **{f.name: jax.device_put(getattr(book, f.name), shard)
+           for f in dataclasses.fields(BookTensors)
+           if f.name != "unique_times"})
+
+
+def make_sharded_book_fn(plan, interp_type, mesh: Mesh,
+                         axis: str = "book", want_gamma: bool = True):
+    """Book analytics under GSPMD: trades sharded over the mesh, quote
+    vector replicated, per-scenario aggregates all-reduced over ICI."""
+    repl = NamedSharding(mesh, P())
+
+    book_shardings = BookTensors(
+        unique_times=repl,
+        **{f.name: NamedSharding(mesh, P(axis, None))
+           for f in dataclasses.fields(BookTensors)
+           if f.name != "unique_times"})
+
+    @partial(jax.jit, in_shardings=(repl, book_shardings, repl))
+    def fn(rates, book, shocks):
+        def one_scenario(shock):
+            r = rates + shock
+            pvs = book_pvs(r, plan, interp_type, book)
+            total = lambda rr: jnp.sum(
+                book_pvs(rr, plan, interp_type, book))
+            delta = jax.jacrev(total)(r)
+            out = {"total_pv": jnp.sum(pvs), "delta": delta}
+            if want_gamma:
+                out["gamma"] = jax.jacfwd(jax.jacrev(total))(r)
+            return out
+        return jax.vmap(one_scenario)(shocks)
+
+    return fn
+
+
+def make_pershard_aggregate_fn(plan, interp_type, mesh: Mesh,
+                               axis: str = "book"):
+    """Sharded per-trade PVs + aggregated delta/gamma: the aggregate is
+    computed per shard and all-reduced, so the gradient graph stays O(U)
+    on every device."""
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(repl, repl, repl))
+    def fn(rates, agg, shocks):
+        def one_scenario(shock):
+            r = rates + shock
+            total = lambda rr: aggregate_total_pv(rr, plan, interp_type,
+                                                  agg)
+            return {"total_pv": total(r),
+                    "delta": jax.jacrev(total)(r),
+                    "gamma": jax.jacfwd(jax.jacrev(total))(r)}
+        return jax.vmap(one_scenario)(shocks)
+
+    return fn

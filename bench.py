@@ -1,0 +1,147 @@
+"""Benchmark: book-scale PV + delta + gamma throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: trades/sec for full PV + book delta ladder + NxN gamma
+across a scenario grid on a 100k-swap book (BASELINE.json primary metric).
+Baseline: the reference prices ONE swap's PV+delta+gamma in ~40ms on CPU
+(README.md:464-466), i.e. ~25 trades/sec.
+
+Secondary numbers (stderr): 32-pillar bootstrap wall-clock, single-swap
+delta/gamma latency, and the 100k x 100-scenario book wall-clock.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adrates_tpu.utils import (BusDayAdjustTypes, CurrencyTypes,
+                                   CurveTypes, Date, DayCountTypes,
+                                   FrequencyTypes, RequestTypes, SwapTypes)
+    from adrates_tpu.models import Model
+    from adrates_tpu.parallel import (aggregate_book, compile_book,
+                                      make_book_fn, tile_book)
+    from adrates_tpu.trades.rates import OIS
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    value_dt = Date(1, 1, 2024)
+    tenors = ["1M", "2M", "3M", "4M", "5M", "6M", "7M", "8M", "9M", "10M",
+              "11M", "1Y", "18M", "2Y", "3Y", "4Y", "5Y", "6Y", "7Y", "8Y",
+              "9Y", "10Y", "12Y", "15Y", "20Y", "25Y", "30Y", "35Y", "40Y",
+              "45Y", "50Y", "60Y"]
+    rates = [5.19, 5.17, 5.15, 5.12, 5.09, 5.04, 4.98, 4.92, 4.87, 4.81,
+             4.76, 4.71, 4.51, 4.35, 4.13, 4.00, 3.93, 3.89, 3.87, 3.86,
+             3.86, 3.87, 3.89, 3.91, 3.88, 3.80, 3.71, 3.61, 3.51, 3.42,
+             3.33, 3.21]
+
+    # --- config 1: 32-pillar bootstrap (includes trade compilation) -----
+    t0 = time.perf_counter()
+    model = Model(value_dt)
+    model.build_curve("GBP_OIS_SONIA", px_list=rates, tenor_list=tenors,
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F)
+    curve = model.curves.GBP_OIS_SONIA
+    log(f"bootstrap 32-pillar (cold, incl. compile+refit): "
+        f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
+
+    # warm re-bootstrap (the scenario path)
+    from adrates_tpu.ops.bootstrap import bootstrap_ois
+    reboot = jax.jit(lambda r: bootstrap_ois(r, curve._plan))
+    r_jnp = jnp.asarray(curve.swap_rates)
+    reboot(r_jnp)[1].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(100):
+        out = reboot(r_jnp)
+    out[1].block_until_ready()
+    boot_ms = (time.perf_counter() - t0) / 100 * 1e3
+    log(f"bootstrap 32-pillar (warm, jitted): {boot_ms:.3f} ms "
+        f"(reference ~50 ms)")
+
+    # --- config 2: single 10Y swap PV+delta+gamma -----------------------
+    swap = OIS(value_dt, "10Y", SwapTypes.RECEIVE, 0.0387,
+               FrequencyTypes.ANNUAL, DayCountTypes.ACT_365F,
+               CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+               notional=10_000_000, float_dc_type=DayCountTypes.ACT_365F,
+               bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING)
+    pos = swap.position(model)
+    reqs = [RequestTypes.VALUE, RequestTypes.DELTA, RequestTypes.GAMMA]
+    pos.compute(reqs)  # compile
+    t0 = time.perf_counter()
+    n_rep = 20
+    for _ in range(n_rep):
+        res = pos.compute(reqs)
+    single_ms = (time.perf_counter() - t0) / n_rep * 1e3
+    log(f"10Y swap PV+delta+gamma (warm): {single_ms:.2f} ms "
+        f"(reference ~40 ms delta+gamma)")
+
+    # --- config 3: 100k-trade book x scenarios --------------------------
+    rng = np.random.default_rng(7)
+    base_swaps = []
+    base_tenors = ["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "15Y", "20Y",
+                   "30Y", "50Y"]
+    for i, ten in enumerate(base_tenors * 10):  # 100 base schedules
+        base_swaps.append(OIS(
+            value_dt, ten,
+            SwapTypes.PAY if i % 2 else SwapTypes.RECEIVE,
+            float(rng.uniform(0.02, 0.05)), FrequencyTypes.ANNUAL,
+            DayCountTypes.ACT_365F, CurveTypes.GBP_OIS_SONIA,
+            CurrencyTypes.GBP, notional=float(rng.uniform(1e6, 2e7)),
+            float_dc_type=DayCountTypes.ACT_365F,
+            bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING))
+    t0 = time.perf_counter()
+    base_book = compile_book(base_swaps, value_dt)
+    n_trades = 100_000
+    n_copies = n_trades // len(base_swaps)
+    book = tile_book(base_book, n_copies,
+                     coupon_scale=rng.uniform(0.8, 1.2, n_copies),
+                     notional_scale=rng.uniform(0.5, 2.0, n_copies))
+    log(f"book compile+tile to {book.num_trades} trades: "
+        f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
+        f"(unique times: {book.unique_times.shape[0]})")
+
+    n_scen = 100
+    shocks = jnp.asarray(rng.normal(0.0, 1e-3,
+                                    (n_scen, len(rates))))
+
+    agg = aggregate_book(book)
+    fn = make_book_fn(curve._plan, curve._interp_type, want_gamma=True)
+    out = fn(r_jnp, book, agg, shocks[:1])  # compile with S=1
+    jax.block_until_ready(out)
+    fn_full = fn(r_jnp, book, agg, shocks)  # compile with S=100
+    jax.block_until_ready(fn_full)
+    t0 = time.perf_counter()
+    out = fn(r_jnp, book, agg, shocks)
+    jax.block_until_ready(out)
+    book_s = time.perf_counter() - t0
+    trades_per_sec = book.num_trades * n_scen / book_s
+    log(f"100k-trade book x {n_scen} scenarios "
+        f"(PV + delta ladder + 32x32 gamma each): {book_s * 1e3:.0f} ms "
+        f"-> {trades_per_sec:,.0f} trade-scenarios/sec")
+
+    # Reference rate: ~40ms per swap PV+delta+gamma => 25 trades/sec.
+    baseline_trades_per_sec = 25.0
+    result = {
+        "metric": "book_pv_delta_gamma_trades_per_sec",
+        "value": round(trades_per_sec, 1),
+        "unit": "trade-scenarios/sec (100k swaps x 100 scenarios, "
+                "PV + 32-tenor delta + 32x32 gamma)",
+        "vs_baseline": round(trades_per_sec / baseline_trades_per_sec, 1),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
