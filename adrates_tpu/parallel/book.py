@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.bootstrap import OISBootstrapPlan, bootstrap_ois
@@ -317,17 +318,25 @@ def make_book_fn(plan, interp_type, want_gamma: bool = True):
 
     @jax.jit
     def fn(rates, book, agg, shocks):
+        # Per-trade PVs stream scenario-by-scenario (lax.map) so the
+        # [B, P] gather temporaries exist for ONE scenario at a time —
+        # vmapping them across 100 scenarios blows past HBM.
+        pvs = lax.map(
+            lambda shock: book_pvs(rates + shock, plan, interp_type, book),
+            shocks)
+
         def one_scenario(shock):
             r = rates + shock
-            pvs = book_pvs(r, plan, interp_type, book)
             total = lambda rr: aggregate_total_pv(rr, plan, interp_type,
                                                   agg)
-            delta = jax.jacrev(total)(r)
-            out = {"pvs": pvs, "delta": delta}
+            out = {"delta": jax.jacrev(total)(r)}
             if want_gamma:
                 out["gamma"] = jax.jacfwd(jax.jacrev(total))(r)
             return out
-        return jax.vmap(one_scenario)(shocks)
+
+        out = jax.vmap(one_scenario)(shocks)
+        out["pvs"] = pvs
+        return out
 
     return fn
 

@@ -2,3 +2,7 @@ from .ois import OIS, FinCompoundingTypes
 from .ois_curve import OISCurve, SWAP_TOL
 from .swap_fixed_leg import SwapFixedLeg
 from .swap_float_leg import SwapFloatLeg
+from .xccy_curve import XccyCurve
+from .xccy_basis_swap import XccyBasisSwap
+from .xccy_fix_float_swap import XccyFixFloat
+from .xccy_fix_fix_swap import XccyFixFix
