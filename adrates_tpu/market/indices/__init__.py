@@ -1,0 +1,1 @@
+from .inflation_index import InflationIndex
