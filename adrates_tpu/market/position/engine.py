@@ -203,7 +203,18 @@ class Engine:
         disc_name = get_discount_curve_name(derivative._currency,
                                             CollateralType[
                                                 collateral_ccy.name])
-        xccy_curve = model.curves[disc_name]
+        if disc_name in model.curves:
+            xccy_curve = model.curves[disc_name]
+        else:
+            # fall back to any XCCY curve whose foreign leg matches
+            from ...trades.rates.xccy_curve import XccyCurve
+            matches = [c for c in model._curves_dict.values()
+                       if isinstance(c, XccyCurve)]
+            if len(matches) != 1:
+                raise LibError(
+                    f"Discount curve {disc_name} not found and no unique "
+                    f"XCCY curve to fall back to")
+            xccy_curve = matches[0]
         pair = f"{collateral_ccy.name}{derivative._currency.name}"
         spot_fx = model.fx(pair)
 

@@ -59,11 +59,12 @@ class OISBootstrapPlan(NamedTuple):
     swap_times: np.ndarray
     pillar_point: np.ndarray
     depth: int = 0  # max dependency-chain length (wavefront iterations)
+    loglinear_rates: bool = True  # sub-pillar rate interpolation space
 
 
 def prepare_ois_plan(swap_times: Sequence[float],
-                     year_fracs: Sequence[Sequence[float]]
-                     ) -> OISBootstrapPlan:
+                     year_fracs: Sequence[Sequence[float]],
+                     loglinear_rates: bool = True) -> OISBootstrapPlan:
     """Expand calibration swaps into the static bootstrap point plan.
 
     Runs once per curve topology in Python; everything downstream is jitted.
@@ -133,7 +134,8 @@ def prepare_ois_plan(swap_times: Sequence[float],
     return OISBootstrapPlan(point_times=point_times, accs=accs,
                             prev_idx=prev_idx, pillar_idx=pillar_idx,
                             swap_times=np.asarray(swap_times, dtype=float),
-                            pillar_point=pillar_point, depth=depth)
+                            pillar_point=pillar_point, depth=depth,
+                            loglinear_rates=loglinear_rates)
 
 
 def bootstrap_ois(rates, plan: OISBootstrapPlan):
@@ -157,9 +159,15 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     swap_times = jnp.asarray(plan.swap_times)
 
     # Sub-pillar rates: log-linear in the pillar rates
-    # (ois_curve.py:168-173).
-    log_rates = jnp.log(rates)
-    interp_rates = jnp.exp(jnp.interp(times, swap_times, log_rates))
+    # (ois_curve.py:168-173). Falls back to linear space when the curve was
+    # built from non-positive quotes (negative-rate markets) — log of a
+    # negative rate NaNs the whole bootstrap, a latent bug in the
+    # reference.
+    if plan.loglinear_rates:
+        interp_rates = jnp.exp(jnp.interp(times, swap_times,
+                                          jnp.log(rates)))
+    else:
+        interp_rates = jnp.interp(times, swap_times, rates)
     point_rates = jnp.where(pillar_idx >= 0, rates[pillar_idx.clip(0)],
                             interp_rates)
 

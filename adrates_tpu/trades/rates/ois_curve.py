@@ -45,7 +45,9 @@ class OISCurve(DiscountCurve):
         self._check_refit = check_refit
 
         self._prepare_curve_builder_inputs()
-        self._plan = prepare_ois_plan(self.swap_times, self.year_fracs)
+        self._plan = prepare_ois_plan(
+            self.swap_times, self.year_fracs,
+            loglinear_rates=all(r > 0 for r in self.swap_rates))
 
         times, dfs = bootstrap_ois(jnp.asarray(self.swap_rates), self._plan)
         self._times = times

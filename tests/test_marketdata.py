@@ -1,0 +1,148 @@
+"""Market data layer: FX routing, constants, Bloomberg gating, model FX.
+
+Mirrors the reference's FX routing coverage (market_data_engine.py:282-455)
+plus the OIS-under-cross-currency-collateral engine path.
+"""
+
+import pytest
+
+from adrates_tpu.utils import (CollateralType, CurrencyTypes, CurveTypes,
+                               Date, DayCountTypes, FrequencyTypes,
+                               InterpTypes, LibError, RequestTypes,
+                               SwapTypes)
+from adrates_tpu.marketdata import (FX_MARKET_DATA, MARKET_DATA,
+                                    FXRoutingEngine, MarketCurveBuilder)
+from adrates_tpu.models import Model
+from adrates_tpu.trades.rates import OIS
+
+VALUE_DT = Date(1, 1, 2024)
+
+
+class TestFXRouting:
+    def test_direct_rate(self):
+        r = FXRoutingEngine({"GBPUSD": 1.27})
+        assert r.rate("GBPUSD") == 1.27
+
+    def test_inverse_rate(self):
+        r = FXRoutingEngine({"GBPUSD": 1.27})
+        assert r.rate("USDGBP") == pytest.approx(1 / 1.27)
+
+    def test_cross_via_usd(self):
+        r = FXRoutingEngine({"GBPUSD": 1.27, "EURUSD": 1.08})
+        assert r.get_cross_rate("EUR", "GBP") == pytest.approx(1.08 / 1.27)
+        assert r.get_path("EUR", "GBP") == ["EUR", "USD", "GBP"]
+
+    def test_multi_hop(self):
+        r = FXRoutingEngine({"EURUSD": 1.08, "USDJPY": 150.0,
+                             "GBPUSD": 1.27})
+        assert r.get_cross_rate("GBP", "JPY") == pytest.approx(1.27 * 150)
+
+    def test_same_currency(self):
+        r = FXRoutingEngine({"GBPUSD": 1.27})
+        assert r.get_cross_rate("USD", "USD") == 1.0
+
+    def test_no_route_raises(self):
+        r = FXRoutingEngine({"GBPUSD": 1.27})
+        with pytest.raises(LibError):
+            r.get_cross_rate("EUR", "JPY")
+
+    def test_negative_rate_raises(self):
+        r = FXRoutingEngine()
+        with pytest.raises(LibError):
+            r.set_fx_rate("GBPUSD", -1.0)
+
+    def test_bulk(self):
+        r = FXRoutingEngine()
+        r.set_bulk_fx_rates({"EURUSD": 1.08, "GBPUSD": 1.27})
+        assert r.rate("EURUSD") == 1.08
+
+
+class TestConstants:
+    def test_sonia_strip(self):
+        cfg = MARKET_DATA["GBP_OIS_SONIA"]
+        assert cfg["tickers"]["1Y"] == "BPSWS1 BGN Curncy"
+        assert cfg["tickers"]["18M"] == "BPSWS1F BGN Curncy"
+        assert cfg["conventions"]["fixed_day_count"] == \
+            DayCountTypes.ACT_365F
+        assert len(cfg["tickers"]) == 32
+
+    def test_sofr_strip(self):
+        cfg = MARKET_DATA["USD_OIS_SOFR"]
+        assert cfg["tickers"]["10Y"] == "USOSFR10 BGNL Curncy"
+        assert cfg["conventions"]["payment_lag"] == 2
+
+    def test_xccy_strip(self):
+        cfg = MARKET_DATA["GBPUSD_XCCY_SONIA_SOFR"]
+        assert cfg["domestic_curve"] == "USD_OIS_SOFR"
+        assert cfg["conventions"]["interp_type"] == \
+            InterpTypes.FLAT_FWD_RATES
+
+    def test_fx_pairs(self):
+        assert FX_MARKET_DATA["GBPUSD"]["ticker"] == "GBPUSD Curncy"
+
+
+class TestBloombergGating:
+    def test_fetch_without_xbbg_raises_cleanly(self):
+        builder = MarketCurveBuilder(MARKET_DATA, FX_MARKET_DATA)
+        with pytest.raises(LibError, match="xbbg"):
+            builder.get_curve_inputs("GBP_OIS_SONIA", VALUE_DT)
+
+    def test_unknown_curve_raises(self):
+        builder = MarketCurveBuilder(MARKET_DATA, FX_MARKET_DATA)
+        with pytest.raises(KeyError):
+            builder.get_curve_inputs("NOPE", VALUE_DT)
+
+
+class TestModelFX:
+    def test_build_fx_and_inverse(self):
+        m = Model(VALUE_DT)
+        m.build_fx(["GBPUSD"], [1.27])
+        assert m.fx("GBPUSD") == 1.27
+        assert m.fx("USDGBP") == pytest.approx(1 / 1.27)
+
+    def test_fx_routing_fallback(self):
+        m = Model(VALUE_DT)
+        m.build_fx(["GBPUSD", "EURUSD"], [1.27, 1.08])
+        assert m.fx("EURGBP") == pytest.approx(1.08 / 1.27)
+
+    def test_invalid_pair_raises(self):
+        m = Model(VALUE_DT)
+        with pytest.raises(ValueError):
+            m.build_fx(["XXXUSD"], [1.0])
+
+
+class TestOISUnderXccyCollateral:
+    def test_engine_equals_direct(self):
+        m = Model(VALUE_DT)
+        m.build_curve("USD_OIS_SOFR", px_list=[5.3, 5.0, 4.6, 4.0, 3.88],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_360,
+                      float_dc_type=DayCountTypes.ACT_360,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_curve("GBP_OIS_SONIA", px_list=[5.0, 4.7, 4.3, 3.9, 3.87],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_xccy_curve(name="GBP_USD_XCCY",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=[-5.0, -8.0, -11.0],
+                           tenor_list=["1Y", "5Y", "10Y"], spot_fx=1.27)
+        m.build_fx(["GBPUSD"], [1.27])
+
+        s = OIS(VALUE_DT, "5Y", SwapTypes.RECEIVE, 0.039,
+                FrequencyTypes.ANNUAL, DayCountTypes.ACT_365F,
+                CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+                notional=10_000_000,
+                float_dc_type=DayCountTypes.ACT_365F)
+        res = s.position(m).compute([RequestTypes.VALUE,
+                                     RequestTypes.DELTA],
+                                    collateral_type=CollateralType.USD)
+        assert res.value.currency == CurrencyTypes.USD
+        direct = s.value(VALUE_DT, m.curves.GBP_OIS_SONIA,
+                         collateral_type=CollateralType.USD,
+                         xccy_discount_curve=m.curves["GBP_USD_XCCY"],
+                         spot_fx=1 / 1.27)
+        assert res.value.amount == pytest.approx(direct, abs=1e-6)
+        assert res.risk is not None
