@@ -113,6 +113,22 @@ class DiscountCurve:
     # rate queries
     # ------------------------------------------------------------------
 
+    def _zero_to_df(self, value_dt, rates, times,
+                    freq_type: FrequencyTypes, dc_type: DayCountTypes):
+        """Zero rate(s) -> DF(s) under a compounding frequency
+        (discount_curve.py:102-133)."""
+        t = np.maximum(np.atleast_1d(np.asarray(times, dtype=float)),
+                       gSmall)
+        rates = np.asarray(rates, dtype=float)
+        f = annual_frequency(freq_type)
+        if freq_type == FrequencyTypes.CONTINUOUS:
+            df = np.exp(-rates * t)
+        elif freq_type == FrequencyTypes.SIMPLE:
+            df = 1.0 / (1.0 + rates * t)
+        else:
+            df = 1.0 / np.power(1.0 + rates / f, f * t)
+        return df if df.size > 1 else float(df[0])
+
     def _df_to_zero(self, dfs, maturity_dts, freq_type: FrequencyTypes,
                     dc_type: DayCountTypes):
         f = annual_frequency(freq_type)

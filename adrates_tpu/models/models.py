@@ -183,6 +183,19 @@ class Model:
         self._fx_params_dict.update(fx_rates)
         return fx_rates
 
+    def prebuilt_xccy_curve(self, curve_name: str):
+        """Fetch basis spreads + spot FX from Bloomberg and build the XCCY
+        curve (parity: models.py:393-505; the reference forces FLAT_FWD
+        because LINEAR_ZERO NaNs its AD path — ours works under any scheme
+        but the configured convention is preserved)."""
+        from ..marketdata.market_data_constants import MARKET_DATA, \
+            FX_MARKET_DATA
+        from ..marketdata.market_data_engine import MarketCurveBuilder
+        builder = MarketCurveBuilder(MARKET_DATA, FX_MARKET_DATA)
+        inputs = builder.get_xccy_curve_inputs(curve_name, self.value_dt)
+        self._market_data_used[curve_name] = inputs
+        return self.build_xccy_curve(**inputs)
+
     # ------------------------------------------------------------------
     # scenarios
     # ------------------------------------------------------------------
