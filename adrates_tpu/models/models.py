@@ -253,6 +253,21 @@ class Model:
         return run(shocks)
 
     # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def to_json(self, fp=None):
+        """Serialize market state (curve params + FX) to JSON; every
+        curve re-bootstraps bit-identically on load."""
+        from .serialization import model_to_json
+        return model_to_json(self, fp)
+
+    @classmethod
+    def from_json(cls, source) -> "Model":
+        from .serialization import model_from_json
+        return model_from_json(source)
+
+    # ------------------------------------------------------------------
 
     @property
     def curves(self) -> CurveAccessor:

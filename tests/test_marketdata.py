@@ -146,3 +146,52 @@ class TestOISUnderXccyCollateral:
                          spot_fx=1 / 1.27)
         assert res.value.amount == pytest.approx(direct, abs=1e-6)
         assert res.risk is not None
+
+
+class TestModelSerialization:
+    def test_roundtrip(self, tmp_path):
+        m = Model(VALUE_DT)
+        m.build_curve("GBP_OIS_SONIA", px_list=[5.0, 4.3, 3.87],
+                      tenor_list=["6M", "2Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F)
+        m.build_fx(["GBPUSD"], [1.27])
+        path = str(tmp_path / "model.json")
+        m.to_json(path)
+        m2 = Model.from_json(path)
+        assert m2.value_dt == m.value_dt
+        assert m2.fx("GBPUSD") == 1.27
+        import numpy as np
+        np.testing.assert_allclose(
+            np.array(m2.curves.GBP_OIS_SONIA._dfs),
+            np.array(m.curves.GBP_OIS_SONIA._dfs), atol=0)
+
+    def test_roundtrip_with_xccy_and_inflation(self):
+        m = Model(VALUE_DT)
+        m.build_curve("USD_OIS_SOFR", px_list=[5.0, 4.3, 3.88],
+                      tenor_list=["6M", "2Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_360,
+                      float_dc_type=DayCountTypes.ACT_360,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_curve("GBP_OIS_SONIA", px_list=[4.9, 4.2, 3.8],
+                      tenor_list=["6M", "2Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_xccy_curve(name="GBP_USD_XCCY",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=[-5.0, -10.0],
+                           tenor_list=["2Y", "10Y"], spot_fx=1.27)
+        m.build_inflation_curve("GBP_RPI_INFLATION",
+                                breakeven_list=[3.6, 3.4],
+                                tenor_list=["2Y", "10Y"], base_cpi=293.0)
+        text = m.to_json()
+        m2 = Model.from_json(text)
+        import numpy as np
+        np.testing.assert_allclose(
+            np.array(m2.curves["GBP_USD_XCCY"]._dfs),
+            np.array(m.curves["GBP_USD_XCCY"]._dfs), atol=0)
+        np.testing.assert_allclose(
+            np.array(m2.curves["GBP_RPI_INFLATION"]._dfs),
+            np.array(m.curves["GBP_RPI_INFLATION"]._dfs), atol=0)
