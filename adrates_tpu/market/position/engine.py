@@ -108,6 +108,8 @@ class Engine:
         interp_type = curve._interp_type
         want = (RequestTypes.VALUE in reqs, RequestTypes.DELTA in reqs,
                 RequestTypes.GAMMA in reqs)
+        if not any(want):  # e.g. CASHFLOWS-only requests
+            return {}
         key = ("swap", self._tensor_signature(fixed_tensor),
                self._tensor_signature(float_tensor), want)
         cache = self._curve_jit_cache(curve)
@@ -126,18 +128,35 @@ class Engine:
                     if has_float:
                         pv = pv + pv_float_leg(dfs, times, interp_type, lt)
                     return pv
-                out = {}
+                # Pack every output into ONE flat vector: each returned
+                # array is a separate ~30ms device->host roundtrip through
+                # the axon tunnel.
+                parts = []
                 if want[0]:
-                    out["pv"] = pv_fn(rates)
+                    parts.append(jnp.reshape(pv_fn(rates), (1,)))
                 if want[1]:
-                    out["delta"] = jax.jacrev(pv_fn)(rates)
+                    parts.append(jax.jacrev(pv_fn)(rates))
                 if want[2]:
-                    out["gamma"] = jax.jacfwd(jax.jacrev(pv_fn))(rates)
-                return out
+                    parts.append(jax.jacfwd(jax.jacrev(pv_fn))(rates)
+                                 .ravel())
+                return jnp.concatenate(parts)
 
             fn = jax.jit(analytics)
             cache[key] = fn
-        return fn(jnp.asarray(curve.swap_rates), fixed_tensor, float_tensor)
+        packed = np.asarray(fn(jnp.asarray(curve.swap_rates), fixed_tensor,
+                               float_tensor), dtype=np.float64)
+        n = len(curve.swap_rates)
+        out = {}
+        pos = 0
+        if want[0]:
+            out["pv"] = packed[0]
+            pos = 1
+        if want[1]:
+            out["delta"] = packed[pos:pos + n]
+            pos += n
+        if want[2]:
+            out["gamma"] = packed[pos:pos + n * n].reshape(n, n)
+        return out
 
     def _package_outputs(self, raw: Dict, reqs: Set[RequestTypes], currency,
                          curve_type, swap_times) -> Dict:

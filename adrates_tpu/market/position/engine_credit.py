@@ -52,7 +52,7 @@ def _bond_tensor(bond, value_dt) -> FixedLegTensor:
     """
     from ...utils.day_count import DayCountTypes
     dc = DayCountTypes.ACT_ACT_ISDA
-    payment_times = jnp.asarray(
+    payment_times = np.asarray(
         times_from_dates(bond._payment_dts, value_dt, dc))
     amounts = np.array(bond._coupon_payments, dtype=float)
     if bond._is_amortizing:
@@ -62,10 +62,10 @@ def _bond_tensor(bond, value_dt) -> FixedLegTensor:
         principal = bond._face_value
     return FixedLegTensor(
         payment_times=payment_times,
-        payments=jnp.asarray(amounts),
-        principal=jnp.asarray(principal),
-        leg_sign=jnp.asarray(1.0),  # investor receives
-        value_time=jnp.asarray(times_from_dates(value_dt, value_dt, dc)))
+        payments=amounts,
+        principal=np.float64(principal),
+        leg_sign=np.float64(1.0),  # investor receives
+        value_time=np.float64(times_from_dates(value_dt, value_dt, dc)))
 
 
 def compute_bond(engine, derivative, reqs) -> AnalyticsResult:
@@ -116,27 +116,27 @@ def _frn_tensor(frn, value_dt) -> FloatLegTensor:
     override = frn._first_fixing_rate is not None
     has_cap_floor = frn._cap_rate is not None or frn._floor_rate is not None
     return FloatLegTensor(
-        payment_times=jnp.asarray(
+        payment_times=np.asarray(
             times_from_dates(frn._payment_dts, value_dt, dc)),
-        start_times=jnp.asarray(
+        start_times=np.asarray(
             times_from_dates(frn._start_accrued_dts, value_dt, dc)),
-        end_times=jnp.asarray(
+        end_times=np.asarray(
             times_from_dates(frn._end_accrued_dts, value_dt, dc)),
-        pay_alphas=jnp.asarray(np.array(frn._year_fracs)),
-        spreads=jnp.full(n, frn._quoted_margin),
-        notionals=jnp.full(n, float(frn._face_value)),
-        principal=jnp.asarray(float(frn._face_value)),
-        leg_sign=jnp.asarray(1.0),
-        value_time=jnp.asarray(times_from_dates(value_dt, value_dt, dc)),
-        first_fixing_rate=jnp.asarray(frn._first_fixing_rate
-                                      if override else 0.0),
-        notional_exchange_amount=jnp.asarray(0.0),
-        effective_time=jnp.asarray(0.0),
-        maturity_time=jnp.asarray(0.0),
-        cap_rate=jnp.asarray(frn._cap_rate if frn._cap_rate is not None
-                             else jnp.inf),
-        floor_rate=jnp.asarray(frn._floor_rate
-                               if frn._floor_rate is not None else -jnp.inf),
+        pay_alphas=np.array(frn._year_fracs, dtype=np.float64),
+        spreads=np.full(n, frn._quoted_margin),
+        notionals=np.full(n, float(frn._face_value)),
+        principal=np.float64(frn._face_value),
+        leg_sign=np.float64(1.0),
+        value_time=np.float64(times_from_dates(value_dt, value_dt, dc)),
+        first_fixing_rate=np.float64(frn._first_fixing_rate
+                                     if override else 0.0),
+        notional_exchange_amount=np.float64(0.0),
+        effective_time=np.float64(0.0),
+        maturity_time=np.float64(0.0),
+        cap_rate=np.float64(frn._cap_rate if frn._cap_rate is not None
+                            else np.inf),
+        floor_rate=np.float64(frn._floor_rate
+                              if frn._floor_rate is not None else -np.inf),
         override_first=override,
         notional_exchange=False,
         has_cap_floor=has_cap_floor)

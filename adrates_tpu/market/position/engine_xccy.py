@@ -81,28 +81,28 @@ def _float_leg_xccy_tensor(leg: SwapFloatLeg, value_dt: Date,
     xccy_dc = DayCountTypes.ACT_365F
     n = len(leg._payment_dts)
     return FloatLegTensor(
-        payment_times=jnp.asarray(
+        payment_times=np.asarray(
             times_from_dates(leg._payment_dts, value_dt, xccy_dc)),
-        start_times=jnp.asarray(
+        start_times=np.asarray(
             times_from_dates(leg._start_accrued_dts, value_dt, foreign_dc)),
-        end_times=jnp.asarray(
+        end_times=np.asarray(
             times_from_dates(leg._end_accrued_dts, value_dt, foreign_dc)),
-        pay_alphas=jnp.asarray(np.array(leg._year_fracs)),
-        spreads=jnp.full(n, leg._spread),
-        notionals=jnp.asarray(leg._notionals()),
-        principal=jnp.asarray(leg._principal * leg._notional),
-        leg_sign=jnp.asarray(
+        pay_alphas=np.array(leg._year_fracs, dtype=np.float64),
+        spreads=np.full(n, leg._spread),
+        notionals=leg._notionals(),
+        principal=np.float64(leg._principal * leg._notional),
+        leg_sign=np.float64(
             1.0 if leg._leg_type == SwapTypes.RECEIVE else -1.0),
-        value_time=jnp.asarray(0.0),
-        first_fixing_rate=jnp.asarray(0.0),
-        notional_exchange_amount=jnp.asarray(
+        value_time=np.float64(0.0),
+        first_fixing_rate=np.float64(0.0),
+        notional_exchange_amount=np.float64(
             float(leg._notional) if leg._notional_exchange else 0.0),
-        effective_time=jnp.asarray(
+        effective_time=np.float64(
             times_from_dates(leg._effective_dt, value_dt, xccy_dc)),
-        maturity_time=jnp.asarray(
+        maturity_time=np.float64(
             times_from_dates(leg._maturity_dt, value_dt, xccy_dc)),
-        cap_rate=jnp.asarray(jnp.inf),
-        floor_rate=jnp.asarray(-jnp.inf),
+        cap_rate=np.float64(np.inf),
+        floor_rate=np.float64(-np.inf),
         override_first=False,
         notional_exchange=leg._notional_exchange,
         has_cap_floor=False)
@@ -156,13 +156,13 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
         # fixed foreign leg discounted on the XCCY grid: times in ACT/365F
         xdc = DayCountTypes.ACT_365F
         for_tensor = FixedLegTensor(
-            payment_times=jnp.asarray(
+            payment_times=np.asarray(
                 times_from_dates(for_leg._payment_dts, value_dt, xdc)),
-            payments=jnp.asarray(np.array(for_leg._payments)),
-            principal=jnp.asarray(for_leg._principal * for_leg._notional),
-            leg_sign=jnp.asarray(
+            payments=np.array(for_leg._payments, dtype=np.float64),
+            principal=np.float64(for_leg._principal * for_leg._notional),
+            leg_sign=np.float64(
                 1.0 if for_leg._leg_type == SwapTypes.RECEIVE else -1.0),
-            value_time=jnp.asarray(0.0))
+            value_time=np.float64(0.0))
         for_eff_t = jnp.asarray(times_from_dates(derivative._effective_dt,
                                                  value_dt, xdc))
         for_mat_t = jnp.asarray(times_from_dates(derivative._maturity_dt,

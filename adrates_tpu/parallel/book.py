@@ -148,10 +148,12 @@ def compile_book(swaps, value_dt, pad_to: Optional[int] = None
         arr = np.stack(v)
         if k.endswith("_idx") or k in ("fix_idx",):
             arr = remap[arr]
-            out[k] = jnp.asarray(arr.astype(np.int32))
+            out[k] = arr.astype(np.int32)
         else:
-            out[k] = jnp.asarray(arr)
-    return BookTensors(unique_times=jnp.asarray(unique_times), **out)
+            out[k] = arr
+    # numpy leaves: transferred once at the first jitted call (or pinned
+    # explicitly with shard_book / jax.device_put for big books)
+    return BookTensors(unique_times=unique_times, **out)
 
 
 def tile_book(base: BookTensors, n_copies: int, coupon_scale=None,

@@ -145,7 +145,7 @@ class Bond:
         df_settle = discount_curve.df(settlement_dt)
         n = len(self._payment_dts)
         future = np.array([dt > settlement_dt for dt in self._payment_dts])
-        dfs = np.array([discount_curve.df(dt) for dt in self._payment_dts])
+        dfs = np.asarray(discount_curve.df(list(self._payment_dts)))
         if z_spread != 0.0:
             t = np.array([(dt - settlement_dt) / 365.25
                           for dt in self._payment_dts])

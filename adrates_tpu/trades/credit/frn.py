@@ -132,10 +132,10 @@ class FRN:
         index_dc = DayCount(index_curve._dc_type)
 
         future = np.array([dt > settlement_dt for dt in self._payment_dts])
-        df_start = np.array([index_curve.df(d, dc)
-                             for d in self._start_accrued_dts])
-        df_end = np.array([index_curve.df(d, dc)
-                           for d in self._end_accrued_dts])
+        df_start = np.asarray(index_curve.df(
+            list(self._start_accrued_dts), dc))
+        df_end = np.asarray(index_curve.df(
+            list(self._end_accrued_dts), dc))
         idx_alphas = np.array([
             index_dc.year_frac(s, e)[0]
             for s, e in zip(self._start_accrued_dts, self._end_accrued_dts)])
@@ -151,8 +151,8 @@ class FRN:
         rates = self._clamp(fwd + self._quoted_margin)
         coupons = rates * np.array(self._year_fracs) * self._face_value
 
-        df_pmts = np.array([discount_curve.df(d, dc)
-                            for d in self._payment_dts]) / df_settle
+        df_pmts = np.asarray(discount_curve.df(
+            list(self._payment_dts), dc)) / df_settle
         if discount_margin != 0.0:
             disc_t = np.array([day_counter.year_frac(settlement_dt, d)[0]
                                for d in self._payment_dts])

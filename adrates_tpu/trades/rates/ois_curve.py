@@ -49,7 +49,10 @@ class OISCurve(DiscountCurve):
             self.swap_times, self.year_fracs,
             loglinear_rates=all(r > 0 for r in self.swap_rates))
 
-        times, dfs = bootstrap_ois(jnp.asarray(self.swap_rates), self._plan)
+        # jit the constructor bootstrap: eager lax ops each pay a remote
+        # dispatch/compile through the TPU tunnel
+        times, dfs = jax.jit(lambda r: bootstrap_ois(r, self._plan))(
+            jnp.asarray(self.swap_rates))
         self._times = times
         self._dfs = dfs
         self._repr_dfs = dfs[jnp.asarray(self._plan.pillar_point) + 1]
@@ -101,9 +104,19 @@ class OISCurve(DiscountCurve):
 
     def _check_refits(self, swap_tol: float):
         """Reprice every calibration swap on the built curve; hard-fail if
-        any normalized PV exceeds the tolerance (ois_curve.py:344-358)."""
-        for swap in self._used_swaps:
-            v = swap.value(self._value_dt, self, None) / swap._notional
+        any normalized PV exceeds the tolerance (ois_curve.py:344-358).
+
+        All swaps reprice in ONE jitted batched kernel — per-swap
+        valuation compiles a distinct program per payment count, which
+        costs minutes through the remote-compile tunnel."""
+        from ...parallel.book import book_pvs, compile_book
+
+        book = compile_book(self._used_swaps, self._value_dt)
+        pvs = np.asarray(jax.jit(
+            lambda r: book_pvs(r, self._plan, self._interp_type, book))(
+                jnp.asarray(self.swap_rates)))
+        for swap, pv in zip(self._used_swaps, pvs):
+            v = pv / swap._notional
             if abs(v) > swap_tol:
                 print(self)
                 raise LibError(

@@ -128,15 +128,17 @@ class SwapFixedLeg:
     def tensor(self, value_dt: Date) -> FixedLegTensor:
         """Compile to the jittable pricing tensor (times under the leg's
         own day count, engine parity: engine.py:2520-2528)."""
-        payment_times = jnp.asarray(
+        # numpy leaves: device transfer happens once at the jitted call —
+        # building tiny device arrays here costs a tunnel roundtrip each.
+        payment_times = np.asarray(
             times_from_dates(self._payment_dts, value_dt, self._dc_type))
         return FixedLegTensor(
             payment_times=payment_times,
-            payments=jnp.asarray(np.array(self._payments)),
-            principal=jnp.asarray(self._principal * self._notional),
-            leg_sign=jnp.asarray(
+            payments=np.array(self._payments, dtype=np.float64),
+            principal=np.float64(self._principal * self._notional),
+            leg_sign=np.float64(
                 1.0 if self._leg_type == SwapTypes.RECEIVE else -1.0),
-            value_time=jnp.asarray(
+            value_time=np.float64(
                 times_from_dates(value_dt, value_dt, self._dc_type)))
 
     # ------------------------------------------------------------------
@@ -145,9 +147,10 @@ class SwapFixedLeg:
         """PV on a discount curve. Vectorized equivalent of the reference's
         date loop (swap_fixed_leg.py:200-245); also stores the per-payment
         dfs/pvs for reporting."""
+        # ONE batched DF query (each df() call is a device roundtrip)
         df_value = discount_curve.df(value_dt, self._dc_type)
-        dfs = np.array([discount_curve.df(dt, self._dc_type)
-                        for dt in self._payment_dts]) / df_value
+        dfs = np.asarray(discount_curve.df(list(self._payment_dts),
+                                           self._dc_type)) / df_value
         amounts = np.array(self._payments)
         future = np.array([dt > value_dt for dt in self._payment_dts])
 

@@ -141,35 +141,33 @@ class SwapFloatLeg:
         """Compile to the jittable pricing tensor (times under the leg's
         own day count, engine parity: engine.py:2858-2878)."""
         dc = self._dc_type
-        payment_times = jnp.asarray(
-            times_from_dates(self._payment_dts, value_dt, dc))
-        start_times = jnp.asarray(
-            times_from_dates(self._start_accrued_dts, value_dt, dc))
-        end_times = jnp.asarray(
-            times_from_dates(self._end_accrued_dts, value_dt, dc))
+        # numpy leaves: device transfer happens once at the jitted call.
         override = first_fixing_rate is not None
         return FloatLegTensor(
-            payment_times=payment_times,
-            start_times=start_times,
-            end_times=end_times,
-            pay_alphas=jnp.asarray(np.array(self._year_fracs)),
-            spreads=jnp.full(len(self._year_fracs), self._spread),
-            notionals=jnp.asarray(self._notionals()),
-            principal=jnp.asarray(self._principal * self._notional),
-            leg_sign=jnp.asarray(
+            payment_times=np.asarray(
+                times_from_dates(self._payment_dts, value_dt, dc)),
+            start_times=np.asarray(
+                times_from_dates(self._start_accrued_dts, value_dt, dc)),
+            end_times=np.asarray(
+                times_from_dates(self._end_accrued_dts, value_dt, dc)),
+            pay_alphas=np.array(self._year_fracs, dtype=np.float64),
+            notionals=self._notionals(),
+            spreads=np.full(len(self._year_fracs), self._spread),
+            principal=np.float64(self._principal * self._notional),
+            leg_sign=np.float64(
                 1.0 if self._leg_type == SwapTypes.RECEIVE else -1.0),
-            value_time=jnp.asarray(
+            value_time=np.float64(
                 times_from_dates(value_dt, value_dt, dc)),
-            first_fixing_rate=jnp.asarray(
+            first_fixing_rate=np.float64(
                 first_fixing_rate if override else 0.0),
-            notional_exchange_amount=jnp.asarray(
+            notional_exchange_amount=np.float64(
                 float(self._notional) if self._notional_exchange else 0.0),
-            effective_time=jnp.asarray(
+            effective_time=np.float64(
                 times_from_dates(self._effective_dt, value_dt, dc)),
-            maturity_time=jnp.asarray(
+            maturity_time=np.float64(
                 times_from_dates(self._maturity_dt, value_dt, dc)),
-            cap_rate=jnp.asarray(jnp.inf),
-            floor_rate=jnp.asarray(-jnp.inf),
+            cap_rate=np.float64(np.inf),
+            floor_rate=np.float64(-np.inf),
             override_first=override,
             notional_exchange=self._notional_exchange,
             has_cap_floor=False)
@@ -194,10 +192,10 @@ class SwapFloatLeg:
         index_counter = DayCount(index_dc)
 
         future = np.array([dt > value_dt for dt in self._payment_dts])
-        df_start = np.array([index_curve.df(d, dc)
-                             for d in self._start_accrued_dts])
-        df_end = np.array([index_curve.df(d, dc)
-                           for d in self._end_accrued_dts])
+        df_start = np.asarray(index_curve.df(
+            list(self._start_accrued_dts), dc))
+        df_end = np.asarray(index_curve.df(
+            list(self._end_accrued_dts), dc))
         index_alphas = np.array([
             index_counter.year_frac(s, e)[0]
             for s, e in zip(self._start_accrued_dts, self._end_accrued_dts)])
@@ -213,8 +211,8 @@ class SwapFloatLeg:
 
         pay_alphas = np.array(self._year_fracs)
         amounts = (fwd + self._spread) * pay_alphas * notionals
-        df_pmts = np.array([discount_curve.df(d, dc)
-                            for d in self._payment_dts]) / df_value
+        df_pmts = np.asarray(discount_curve.df(
+            list(self._payment_dts), dc)) / df_value
         pvs = np.where(future, amounts * df_pmts, 0.0)
         leg_pv = float(np.sum(pvs))
 

@@ -25,6 +25,16 @@ def log(msg):
 
 def main():
     import jax
+
+    # Persistent compilation cache: cold-start bench runs reuse previously
+    # compiled executables across processes.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/adrates_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from adrates_tpu.utils import (BusDayAdjustTypes, CurrencyTypes,

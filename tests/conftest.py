@@ -17,6 +17,10 @@ import jax
 if not os.environ.get("ADRATES_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+if os.environ.get("ADRATES_DEBUG_NANS"):
+    # CI tracer-hygiene mode (SURVEY §5): fail fast on any NaN produced
+    # inside jitted computations.
+    jax.config.update("jax_debug_nans", True)
 
 import pytest
 
