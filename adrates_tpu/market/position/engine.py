@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.bootstrap import bootstrap_ois
-from ...ops.interpolation import interp_fit
 from ...ops.pricers import pv_fixed_leg, pv_float_leg
 from ...requests.results import (AnalyticsResult, CashflowItem, Cashflows,
                                  CrossGamma, Delta, Gamma, Risk, Valuation)
@@ -121,7 +120,6 @@ class Engine:
             def analytics(rates, ft, lt):
                 def pv_fn(r):
                     times, dfs = bootstrap_ois(r, plan)
-                    aux = interp_fit(times, dfs, interp_type)
                     pv = 0.0
                     if has_fixed:
                         pv = pv + pv_fixed_leg(dfs, times, interp_type, ft)
@@ -196,7 +194,8 @@ class Engine:
         value_dt = curve._value_dt
 
         fixed_tensor = derivative._fixed_leg.tensor(value_dt)
-        float_tensor = derivative._float_leg.tensor(value_dt)
+        float_tensor = derivative._float_leg.tensor(
+            value_dt, index_dc=curve._dc_type)
         raw = self._swap_analytics(curve, fixed_tensor, float_tensor, reqs)
         out = self._package_outputs(raw, reqs, derivative._currency,
                                     derivative._floating_index,
@@ -238,7 +237,8 @@ class Engine:
         spot_fx = model.fx(pair)
 
         fixed_tensor = derivative._fixed_leg.tensor(value_dt)
-        float_tensor = derivative._float_leg.tensor(value_dt)
+        float_tensor = derivative._float_leg.tensor(
+            value_dt, index_dc=ois_curve._dc_type)
 
         plan = ois_curve._plan
         it = ois_curve._interp_type

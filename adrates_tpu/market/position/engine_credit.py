@@ -110,11 +110,20 @@ def compute_bond(engine, derivative, reqs) -> AnalyticsResult:
                            gamma=out.get("gamma"), cashflows=cashflows)
 
 
-def _frn_tensor(frn, value_dt) -> FloatLegTensor:
+def _frn_tensor(frn, value_dt, index_dc=None) -> FloatLegTensor:
+    from ...utils.day_count import DayCount
     dc = frn._dc_type
     n = frn._num_coupons
     override = frn._first_fixing_rate is not None
     has_cap_floor = frn._cap_rate is not None or frn._floor_rate is not None
+    if index_dc is None or index_dc == dc:
+        index_alphas = np.array(frn._year_fracs, dtype=np.float64)
+    else:
+        counter = DayCount(index_dc)
+        index_alphas = np.array(
+            [counter.year_frac(s, e)[0]
+             for s, e in zip(frn._start_accrued_dts, frn._end_accrued_dts)],
+            dtype=np.float64)
     return FloatLegTensor(
         payment_times=np.asarray(
             times_from_dates(frn._payment_dts, value_dt, dc)),
@@ -123,6 +132,7 @@ def _frn_tensor(frn, value_dt) -> FloatLegTensor:
         end_times=np.asarray(
             times_from_dates(frn._end_accrued_dts, value_dt, dc)),
         pay_alphas=np.array(frn._year_fracs, dtype=np.float64),
+        index_alphas=index_alphas,
         spreads=np.full(n, frn._quoted_margin),
         notionals=np.full(n, float(frn._face_value)),
         principal=np.float64(frn._face_value),
@@ -147,7 +157,8 @@ def compute_frn(engine, derivative, reqs) -> AnalyticsResult:
     idx_name = derivative._floating_index.name
     idx_curve = getattr(engine.model.curves, idx_name)
     value_dt = disc_curve._value_dt
-    tensor = _frn_tensor(derivative, value_dt)
+    tensor = _frn_tensor(derivative, value_dt,
+                         index_dc=idx_curve._dc_type)
     single_curve = idx_name == disc_name
 
     out = {}

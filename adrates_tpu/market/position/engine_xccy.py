@@ -34,7 +34,7 @@ from ...ops.xccy_bootstrap import bootstrap_xccy
 from ...requests.results import (AnalyticsResult, Cashflows, CrossGamma,
                                  Delta, Gamma, Risk, Valuation)
 from ...utils.date import Date
-from ...utils.day_count import DayCountTypes
+from ...utils.day_count import DayCount, DayCountTypes
 from ...utils.error import LibError
 from ...utils.global_types import CurveTypes, InstrumentTypes, \
     RequestTypes, SwapTypes
@@ -88,6 +88,10 @@ def _float_leg_xccy_tensor(leg: SwapFloatLeg, value_dt: Date,
         end_times=np.asarray(
             times_from_dates(leg._end_accrued_dts, value_dt, foreign_dc)),
         pay_alphas=np.array(leg._year_fracs, dtype=np.float64),
+        index_alphas=np.array(
+            [DayCount(foreign_dc).year_frac(s, e)[0]
+             for s, e in zip(leg._start_accrued_dts, leg._end_accrued_dts)],
+            dtype=np.float64),
         spreads=np.full(n, leg._spread),
         notionals=leg._notionals(),
         principal=np.float64(leg._principal * leg._notional),
@@ -150,7 +154,8 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
             else -1.0
         dom_notional = derivative._domestic_notional
     else:
-        dom_tensor = dom_leg.tensor(value_dt)
+        dom_tensor = dom_leg.tensor(value_dt,
+                                    index_dc=dom_curve._dc_type)
 
     if for_is_fixed:
         # fixed foreign leg discounted on the XCCY grid: times in ACT/365F

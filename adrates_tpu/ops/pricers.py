@@ -50,6 +50,12 @@ class FloatLegTensor:
     start_times: jnp.ndarray     # [P] accrual start (projection curve time)
     end_times: jnp.ndarray       # [P] accrual end
     pay_alphas: jnp.ndarray      # [P] payment-basis accrual fractions
+    index_alphas: jnp.ndarray    # [P] accrual fractions in the INDEX
+    #   curve's day count — the forward divisor. The reference projects
+    #   forwards as (df_s/df_e - 1) / yearfrac(index curve dc)
+    #   (swap_float_leg.py:229-233, frn.py:139-146) while coupons accrue
+    #   on the leg's own basis; when the two day counts differ the alphas
+    #   no longer cancel.
     spreads: jnp.ndarray         # [P]
     notionals: jnp.ndarray       # [P]
     principal: jnp.ndarray       # scalar
@@ -124,8 +130,8 @@ def pv_float_leg(dfs, times, disc_interp_type: InterpTypes,
     df_pmts = disc_out[:n]
     df_val = disc_out[n]
 
-    fwd = jnp.where(leg.pay_alphas > 0,
-                    (df_start / df_end - 1.0) / leg.pay_alphas, 0.0)
+    fwd = jnp.where(leg.index_alphas > 0,
+                    (df_start / df_end - 1.0) / leg.index_alphas, 0.0)
 
     if leg.override_first:
         first_mask = jnp.arange(n) == 0

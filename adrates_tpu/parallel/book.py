@@ -51,6 +51,8 @@ class BookTensors:
     flt_start_idx: jnp.ndarray       # [B, P] int32
     flt_end_idx: jnp.ndarray         # [B, P] int32
     flt_pay_alphas: jnp.ndarray      # [B, P]
+    flt_index_alphas: jnp.ndarray    # [B, P] forward divisor in the index
+    #   curve's day count (== pay_alphas when the bases coincide)
     flt_spreads: jnp.ndarray         # [B, P]
     flt_notionals: jnp.ndarray       # [B, P] signed notionals
     flt_mask: jnp.ndarray            # [B, P]
@@ -84,15 +86,18 @@ class _TimeInterner:
         return np.asarray(self._times)[order], remap
 
 
-def compile_book(swaps, value_dt, pad_to: Optional[int] = None
-                 ) -> BookTensors:
+def compile_book(swaps, value_dt, pad_to: Optional[int] = None,
+                 index_dc=None) -> BookTensors:
     """Compile a list of OIS products into one indexed BookTensors.
 
     Only future payments (time > 0) are marked live; pricing assumes the
-    curve's anchor (t=0) is the valuation date.
+    curve's anchor (t=0) is the valuation date. ``index_dc`` is the
+    projection curve's day count for the forward divisor (defaults to
+    each leg's own basis).
     """
     fixed = [s._fixed_leg.tensor(value_dt) for s in swaps]
-    flt = [s._float_leg.tensor(value_dt) for s in swaps]
+    flt = [s._float_leg.tensor(value_dt, index_dc=index_dc)
+           for s in swaps]
     P_max = pad_to or max(max(t.payment_times.shape[0] for t in fixed),
                           max(t.payment_times.shape[0] for t in flt))
 
@@ -114,7 +119,8 @@ def compile_book(swaps, value_dt, pad_to: Optional[int] = None
 
     rows = dict(fix_idx=[], fix_payments=[], fix_mask=[], flt_pay_idx=[],
                 flt_start_idx=[], flt_end_idx=[], flt_pay_alphas=[],
-                flt_spreads=[], flt_notionals=[], flt_mask=[])
+                flt_index_alphas=[], flt_spreads=[], flt_notionals=[],
+                flt_mask=[])
     for ft, lt in zip(fixed, flt):
         fsign = float(ft.leg_sign)
         lsign = float(lt.leg_sign)
@@ -137,6 +143,7 @@ def compile_book(swaps, value_dt, pad_to: Optional[int] = None
         rows["flt_start_idx"].append(s_idx)
         rows["flt_end_idx"].append(e_idx)
         rows["flt_pay_alphas"].append(pad_val(lt.pay_alphas))
+        rows["flt_index_alphas"].append(pad_val(lt.index_alphas))
         rows["flt_spreads"].append(pad_val(lt.spreads))
         rows["flt_notionals"].append(
             pad_val(np.asarray(lt.notionals) * lsign))
@@ -183,6 +190,7 @@ def tile_book(base: BookTensors, n_copies: int, coupon_scale=None,
         flt_start_idx=tile(base.flt_start_idx),
         flt_end_idx=tile(base.flt_end_idx),
         flt_pay_alphas=tile(base.flt_pay_alphas),
+        flt_index_alphas=tile(base.flt_index_alphas),
         flt_spreads=tile(base.flt_spreads),
         flt_notionals=tile(base.flt_notionals, notional_scale),
         flt_mask=tile(base.flt_mask))
@@ -209,8 +217,8 @@ def book_pvs(rates, plan: OISBootstrapPlan, interp_type: InterpTypes,
     df_s = dfs_u[book.flt_start_idx]
     df_e = dfs_u[book.flt_end_idx]
     df_p = dfs_u[book.flt_pay_idx]
-    fwd = jnp.where(book.flt_pay_alphas > 0.0,
-                    (df_s / df_e - 1.0) / book.flt_pay_alphas, 0.0)
+    fwd = jnp.where(book.flt_index_alphas > 0.0,
+                    (df_s / df_e - 1.0) / book.flt_index_alphas, 0.0)
     cf = (fwd + book.flt_spreads) * book.flt_pay_alphas * book.flt_notionals
     flt_pv = jnp.sum(cf * df_p * book.flt_mask, axis=1)
     return fix_pv + flt_pv
@@ -262,7 +270,11 @@ def aggregate_book(book: BookTensors) -> BookAggregate:
     s = np.asarray(book.flt_start_idx).ravel()
     e = np.asarray(book.flt_end_idx).ravel()
     p = flt_pay
-    w = (np.asarray(book.flt_notionals) * np.asarray(book.flt_mask)).ravel()
+    pa = np.asarray(book.flt_pay_alphas)
+    ia = np.asarray(book.flt_index_alphas)
+    scale = np.where(ia > 0.0, pa / np.where(ia > 0.0, ia, 1.0), 0.0)
+    w = (np.asarray(book.flt_notionals) * scale
+         * np.asarray(book.flt_mask)).ravel()
     live = w != 0.0
     key = (s[live].astype(np.int64) * U + e[live]) * U + p[live]
     uniq, inverse = np.unique(key, return_inverse=True)

@@ -137,10 +137,23 @@ class SwapFloatLeg:
         return arr
 
     def tensor(self, value_dt: Date,
-               first_fixing_rate: float = None) -> FloatLegTensor:
+               first_fixing_rate: float = None,
+               index_dc: DayCountTypes = None) -> FloatLegTensor:
         """Compile to the jittable pricing tensor (times under the leg's
-        own day count, engine parity: engine.py:2858-2878)."""
+        own day count, engine parity: engine.py:2858-2878).
+
+        ``index_dc`` is the projection curve's day count: forwards divide
+        the DF ratio by accrual fractions in THAT basis (value() parity);
+        defaults to the leg's own day count when the two coincide."""
         dc = self._dc_type
+        if index_dc is None or index_dc == dc:
+            index_alphas = np.array(self._year_fracs, dtype=np.float64)
+        else:
+            counter = DayCount(index_dc)
+            index_alphas = np.array(
+                [counter.year_frac(s, e)[0]
+                 for s, e in zip(self._start_accrued_dts,
+                                 self._end_accrued_dts)], dtype=np.float64)
         # numpy leaves: device transfer happens once at the jitted call.
         override = first_fixing_rate is not None
         return FloatLegTensor(
@@ -151,6 +164,7 @@ class SwapFloatLeg:
             end_times=np.asarray(
                 times_from_dates(self._end_accrued_dts, value_dt, dc)),
             pay_alphas=np.array(self._year_fracs, dtype=np.float64),
+            index_alphas=index_alphas,
             notionals=self._notionals(),
             spreads=np.full(len(self._year_fracs), self._spread),
             principal=np.float64(self._principal * self._notional),

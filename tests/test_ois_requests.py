@@ -161,3 +161,47 @@ class TestDifferentFrequencies:
         res = swap.position(model).compute([RequestTypes.VALUE])
         direct = swap.value(VALUE_DT, model.curves.GBP_OIS_SONIA)
         assert res.value.amount == pytest.approx(direct, abs=1e-6)
+
+
+class TestMixedDayCountForwardBasis:
+    """Regression: the engine kernel's forward divisor must use the INDEX
+    curve's day count (value() parity, reference swap_float_leg.py:229-233),
+    not the leg's payment basis. With a curve calibrated on ACT_360 floats
+    and a trade accruing ACT_365F, the two alphas differ by ~365/360 and
+    engine != direct by ~1.4% of the float PV if the kernel reuses
+    pay_alphas."""
+
+    @pytest.fixture(scope="class")
+    def mixed_model(self):
+        m = Model(VALUE_DT)
+        # build_curve defaults: ACT_360 fixed & float legs
+        m.build_curve("GBP_OIS_SONIA",
+                      px_list=[4.2, 4.0, 3.8, 3.7, 3.5],
+                      tenor_list=["1Y", "2Y", "5Y", "10Y", "30Y"])
+        return m
+
+    @pytest.fixture(scope="class")
+    def mixed_swap(self):
+        # float leg ACT_365F != curve day count ACT_360
+        return OIS(VALUE_DT, "10Y", SwapTypes.PAY, 0.037,
+                   FrequencyTypes.ANNUAL, DayCountTypes.ACT_360,
+                   CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+                   notional=1_000_000,
+                   float_dc_type=DayCountTypes.ACT_365F)
+
+    def test_engine_equals_direct(self, mixed_model, mixed_swap):
+        direct = mixed_swap.value(VALUE_DT,
+                                  mixed_model.curves.GBP_OIS_SONIA)
+        res = mixed_swap.position(mixed_model).compute([RequestTypes.VALUE])
+        assert res.value.amount == pytest.approx(direct, abs=1e-6)
+
+    def test_book_equals_direct(self, mixed_model, mixed_swap):
+        import jax.numpy as jnp
+        from adrates_tpu.parallel.book import book_pvs, compile_book
+        curve = mixed_model.curves.GBP_OIS_SONIA
+        book = compile_book([mixed_swap], VALUE_DT,
+                            index_dc=curve._dc_type)
+        pvs = book_pvs(jnp.asarray(curve.swap_rates), curve._plan,
+                       curve._interp_type, book)
+        direct = mixed_swap.value(VALUE_DT, curve)
+        assert float(pvs[0]) == pytest.approx(direct, abs=1e-6)
