@@ -76,17 +76,20 @@ def _basis_curve_type(foreign_ccy, domestic_ccy) -> CurveTypes:
 def _float_leg_xccy_tensor(leg: SwapFloatLeg, value_dt: Date,
                            foreign_dc: DayCountTypes) -> FloatLegTensor:
     """Foreign float leg: payment/exchange times in XCCY curve units
-    (ACT/365F), accrual times in the foreign curve's units (parity:
-    engine.py:1496-1520)."""
+    (ACT/365F), forward DF queries at LEG-basis times with the divisor in
+    the foreign curve's basis — exactly what value() asks the curves for
+    (parity: engine.py:1496-1520 + swap_float_leg value())."""
     xccy_dc = DayCountTypes.ACT_365F
     n = len(leg._payment_dts)
     return FloatLegTensor(
         payment_times=np.asarray(
             times_from_dates(leg._payment_dts, value_dt, xccy_dc)),
         start_times=np.asarray(
-            times_from_dates(leg._start_accrued_dts, value_dt, foreign_dc)),
+            times_from_dates(leg._start_accrued_dts, value_dt,
+                             leg._dc_type)),
         end_times=np.asarray(
-            times_from_dates(leg._end_accrued_dts, value_dt, foreign_dc)),
+            times_from_dates(leg._end_accrued_dts, value_dt,
+                             leg._dc_type)),
         pay_alphas=np.array(leg._year_fracs, dtype=np.float64),
         index_alphas=np.array(
             [DayCount(foreign_dc).year_frac(s, e)[0]

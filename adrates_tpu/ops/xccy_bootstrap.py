@@ -46,6 +46,12 @@ class XccyBootstrapPlan(NamedTuple):
     end_t: np.ndarray            # [n] accrual ends
     notionals: np.ndarray        # [n]
     spread_sens: np.ndarray      # [n] year_frac * notional (0 for exchanges)
+    alpha_ratio: np.ndarray      # [n] pay_alpha / index_alpha: the leg's
+    #   coupon accrual basis over the foreign curve's forward basis (1.0
+    #   when they coincide and for exchanges) — the alphas only cancel in
+    #   the forward coupon when the leg accrues on the curve's day count
+    #   (swap_float_leg.py value(): fwd divides by the INDEX curve basis,
+    #   coupons multiply the leg basis)
     dt_chain: np.ndarray         # [n] time since previous chain point
     is_mat: np.ndarray           # [n] bool: pillar maturity point
     is_notl: np.ndarray          # [n] bool: pure notional exchange
@@ -105,9 +111,12 @@ def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,
         df_s, df_e, df_pay_ois = out[:n], out[n:2 * n], out[2 * n:]
 
     # Cashflows: forward coupons (+ final notional) or exchanges. The pay
-    # alpha cancels against the forward's divisor (engine parity:
-    # xccy_curve.py:1052-1063).
+    # alpha cancels against the forward's divisor only up to the basis
+    # ratio (engine parity: xccy_curve.py:1052-1063; the reference assumes
+    # the cancellation, which silently mis-calibrates when the leg accrues
+    # on a different day count than the foreign curve).
     interest = (df_s / df_e - 1.0) * notionals \
+        * jnp.asarray(plan.alpha_ratio) \
         + jnp.where(is_last, notionals, 0.0)
     exchange = jnp.where(is_last, notionals, -notionals)
     cf = jnp.where(is_notl, exchange, interest) \

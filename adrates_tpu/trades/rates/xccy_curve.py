@@ -24,7 +24,7 @@ import numpy as np
 from ...market.curves.discount_curve import DiscountCurve
 from ...ops.xccy_bootstrap import XccyBootstrapPlan, bootstrap_xccy
 from ...utils.date import Date
-from ...utils.day_count import DayCountTypes
+from ...utils.day_count import DayCount, DayCountTypes
 from ...utils.error import LibError
 from ...utils.frequency import FrequencyTypes
 from ...utils.global_types import InterpTypes, SwapTypes
@@ -121,24 +121,36 @@ class XccyCurve(DiscountCurve):
                     t=(eff - self._value_dt) / gDaysInYear,
                     pay_tf=times_from_dates(eff, self._value_dt, fdc),
                     start_t=0.0, end_t=0.0, notional=leg._notional,
-                    spread_sens=0.0, is_mat=False, is_notl=True,
-                    is_last=False, swap=k))
+                    spread_sens=0.0, alpha_ratio=1.0, is_mat=False,
+                    is_notl=True, is_last=False, swap=k))
 
             notionals = leg._notionals()
+            index_counter = DayCount(fdc)
             for j, pmnt_dt in enumerate(leg._payment_dts):
                 if pmnt_dt < self._value_dt:
                     continue
                 t = (pmnt_dt - self._value_dt) / gDaysInYear
                 is_maturity = (pmnt_dt == maturity_dt)
+                # forward coupons: pay basis over the foreign curve's
+                # forward basis (value() parity — they only cancel when
+                # the leg accrues on the curve's day count)
+                ia = index_counter.year_frac(leg._start_accrued_dts[j],
+                                             leg._end_accrued_dts[j])[0]
+                pa = float(leg._year_fracs[j])
                 rec = dict(
                     t=t,
                     pay_tf=times_from_dates(pmnt_dt, self._value_dt, fdc),
+                    # forward DF queries happen at LEG-basis times — the
+                    # same times value() asks the foreign curve for
+                    # (swap_float_leg.py value(): index_curve.df(dts, dc)
+                    # with dc = the leg's own day count)
                     start_t=times_from_dates(leg._start_accrued_dts[j],
-                                             self._value_dt, fdc),
+                                             self._value_dt, leg._dc_type),
                     end_t=times_from_dates(leg._end_accrued_dts[j],
-                                           self._value_dt, fdc),
+                                           self._value_dt, leg._dc_type),
                     notional=float(notionals[j]),
                     spread_sens=float(leg._year_fracs[j] * notionals[j]),
+                    alpha_ratio=(pa / ia if ia > 0 else 1.0),
                     is_mat=is_maturity, is_notl=False,
                     is_last=is_maturity,  # final coupon carries +notional
                     swap=k)
@@ -188,6 +200,7 @@ class XccyCurve(DiscountCurve):
             end_t=np.array([p["end_t"] for p in points]),
             notionals=np.array([p["notional"] for p in points]),
             spread_sens=np.array([p["spread_sens"] for p in points]),
+            alpha_ratio=np.array([p["alpha_ratio"] for p in points]),
             dt_chain=dt_chain,
             is_mat=is_mat,
             is_notl=np.array([p["is_notl"] for p in points]),
@@ -213,19 +226,51 @@ class XccyCurve(DiscountCurve):
         return dfs
 
     def _compute_jacobians(self):
-        """Reference-parity sensitivity tensors of the node DFs."""
+        """Reference-parity sensitivity tensors of the node DFs — LAZY:
+        each tensor compiles+evaluates on first access (the risk engine
+        composes its own jacobians, so curve construction shouldn't pay
+        the ~30s of XLA compiles these cost; the reference computes them
+        eagerly at build time, xccy_curve.py:594-693)."""
+        self._jac_cache_xccy = {}
+
+    def _lazy_jac(self, key, builder):
+        cache = self._jac_cache_xccy
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
+    @property
+    def _jac_basis(self):
+        spreads = jnp.asarray(self.basis_spreads)
+        fdfs = jnp.asarray(self._foreign_curve._dfs)
+        return self._lazy_jac("jac_basis", lambda: jax.jacrev(
+            lambda s: self._dfs_from(s, fdfs))(spreads))
+
+    @property
+    def _hess_basis(self):
+        spreads = jnp.asarray(self.basis_spreads)
+        fdfs = jnp.asarray(self._foreign_curve._dfs)
+        return self._lazy_jac("hess_basis", lambda: jax.jacfwd(jax.jacrev(
+            lambda s: self._dfs_from(s, fdfs)))(spreads))
+
+    @property
+    def _jac_foreign_curve_dfs(self):
+        spreads = jnp.asarray(self.basis_spreads)
+        fdfs = jnp.asarray(self._foreign_curve._dfs)
+        return self._lazy_jac("jac_foreign", lambda: jax.jacrev(
+            lambda d: self._dfs_from(spreads, d))(fdfs))
+
+    @property
+    def _mixed_hess_foreign_basis(self):
         spreads = jnp.asarray(self.basis_spreads)
         fdfs = jnp.asarray(self._foreign_curve._dfs)
 
-        dfs_from_basis = lambda s: self._dfs_from(s, fdfs)
-        self._jac_basis = jax.jacrev(dfs_from_basis)(spreads)
-        self._hess_basis = jax.jacfwd(jax.jacrev(dfs_from_basis))(spreads)
-        self._jac_foreign_curve_dfs = jax.jacrev(
-            lambda d: self._dfs_from(spreads, d))(fdfs)
-        # [n_xccy, n_basis, n_foreign]
-        mixed = jax.jacrev(jax.jacfwd(self._dfs_from, argnums=1),
-                           argnums=0)(spreads, fdfs)
-        self._mixed_hess_foreign_basis = jnp.transpose(mixed, (0, 2, 1))
+        def build():
+            mixed = jax.jacrev(jax.jacfwd(self._dfs_from, argnums=1),
+                               argnums=0)(spreads, fdfs)
+            # [n_xccy, n_basis, n_foreign]
+            return jnp.transpose(mixed, (0, 2, 1))
+        return self._lazy_jac("mixed_hess", build)
 
     # ------------------------------------------------------------------
 

@@ -316,3 +316,32 @@ class TestFixFloatAndFixFix:
                 model.curves.GBP_OIS_SONIA, xccy, SPOT_FX)
         assert pay.value(*args) == pytest.approx(-rec.value(*args),
                                                  abs=1e-6)
+
+
+class TestMixedDayCountXccy:
+    """Regression: the XCCY bootstrap's coupon model must match value():
+    forward DF queries at LEG-basis times and the forward divisor in the
+    foreign curve's day count. With ACT_360-calibrated OIS curves and
+    ACT_365F basis-swap legs the old plan (assuming the alphas cancel and
+    querying at curve-basis times) mis-calibrated by ~2e-3 normalized PV
+    and the refit gate fired."""
+
+    def test_quarterly_mixed_dc_refits(self):
+        m = Model(VALUE_DT)
+        # build_curve defaults: ACT_360 float legs on both curves
+        m.build_curve("USD_OIS_SOFR", px_list=USD_RATES, tenor_list=TENORS)
+        m.build_curve("GBP_OIS_SONIA", px_list=GBP_RATES, tenor_list=TENORS)
+        from adrates_tpu.models.xccy_builder import build_xccy_curve
+        xc = build_xccy_curve(
+            m, "GBP_USD_BASIS_MIX",
+            domestic_curve_name="USD_OIS_SOFR",
+            foreign_curve_name="GBP_OIS_SONIA",
+            basis_spreads=BASIS_BPS, tenor_list=BASIS_TENORS,
+            spot_fx=SPOT_FX,
+            domestic_freq_type=FrequencyTypes.QUARTERLY,
+            foreign_freq_type=FrequencyTypes.QUARTERLY)
+        for swap in xc._used_swaps:
+            v = swap.value(VALUE_DT, m.curves.USD_OIS_SOFR,
+                           m.curves.GBP_OIS_SONIA,
+                           xccy_discount_curve=xc, spot_fx=SPOT_FX)
+            assert abs(v / swap._domestic_notional) < 1e-10
