@@ -236,9 +236,15 @@ class Engine:
         pair = f"{collateral_ccy.name}{derivative._currency.name}"
         spot_fx = model.fx(pair)
 
-        fixed_tensor = derivative._fixed_leg.tensor(value_dt)
+        # XccyCurve.df pins ACT/365F for its time conversion, so the
+        # discount-side query times must be in that basis (direct-path
+        # parity); forwards stay on the natural curve's basis.
+        from ...utils.day_count import DayCountTypes
+        fixed_tensor = derivative._fixed_leg.tensor(
+            value_dt, discount_dc=DayCountTypes.ACT_365F)
         float_tensor = derivative._float_leg.tensor(
-            value_dt, index_dc=ois_curve._dc_type)
+            value_dt, index_dc=ois_curve._dc_type,
+            discount_dc=DayCountTypes.ACT_365F)
 
         plan = ois_curve._plan
         it = ois_curve._interp_type

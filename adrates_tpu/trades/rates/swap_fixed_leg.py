@@ -125,13 +125,19 @@ class SwapFixedLeg:
 
     # ------------------------------------------------------------------
 
-    def tensor(self, value_dt: Date) -> FixedLegTensor:
+    def tensor(self, value_dt: Date,
+               discount_dc: DayCountTypes = None) -> FixedLegTensor:
         """Compile to the jittable pricing tensor (times under the leg's
-        own day count, engine parity: engine.py:2520-2528)."""
+        own day count, engine parity: engine.py:2520-2528).
+
+        ``discount_dc`` overrides the basis for the DISCOUNT query times —
+        needed when the discount curve converts dates with a fixed basis
+        regardless of the caller's (XccyCurve.df pins ACT/365F)."""
+        ddc = discount_dc or self._dc_type
         # numpy leaves: device transfer happens once at the jitted call —
         # building tiny device arrays here costs a tunnel roundtrip each.
         payment_times = np.asarray(
-            times_from_dates(self._payment_dts, value_dt, self._dc_type))
+            times_from_dates(self._payment_dts, value_dt, ddc))
         return FixedLegTensor(
             payment_times=payment_times,
             payments=np.array(self._payments, dtype=np.float64),
@@ -139,7 +145,7 @@ class SwapFixedLeg:
             leg_sign=np.float64(
                 1.0 if self._leg_type == SwapTypes.RECEIVE else -1.0),
             value_time=np.float64(
-                times_from_dates(value_dt, value_dt, self._dc_type)))
+                times_from_dates(value_dt, value_dt, ddc)))
 
     # ------------------------------------------------------------------
 

@@ -138,14 +138,19 @@ class SwapFloatLeg:
 
     def tensor(self, value_dt: Date,
                first_fixing_rate: float = None,
-               index_dc: DayCountTypes = None) -> FloatLegTensor:
+               index_dc: DayCountTypes = None,
+               discount_dc: DayCountTypes = None) -> FloatLegTensor:
         """Compile to the jittable pricing tensor (times under the leg's
         own day count, engine parity: engine.py:2858-2878).
 
         ``index_dc`` is the projection curve's day count: forwards divide
         the DF ratio by accrual fractions in THAT basis (value() parity);
-        defaults to the leg's own day count when the two coincide."""
+        defaults to the leg's own day count when the two coincide.
+        ``discount_dc`` overrides the basis for the DISCOUNT query times
+        (payment/value/exchange) — XccyCurve.df pins ACT/365F regardless
+        of the caller's basis."""
         dc = self._dc_type
+        ddc = discount_dc or dc
         if index_dc is None or index_dc == dc:
             index_alphas = np.array(self._year_fracs, dtype=np.float64)
         else:
@@ -158,7 +163,7 @@ class SwapFloatLeg:
         override = first_fixing_rate is not None
         return FloatLegTensor(
             payment_times=np.asarray(
-                times_from_dates(self._payment_dts, value_dt, dc)),
+                times_from_dates(self._payment_dts, value_dt, ddc)),
             start_times=np.asarray(
                 times_from_dates(self._start_accrued_dts, value_dt, dc)),
             end_times=np.asarray(
@@ -171,15 +176,15 @@ class SwapFloatLeg:
             leg_sign=np.float64(
                 1.0 if self._leg_type == SwapTypes.RECEIVE else -1.0),
             value_time=np.float64(
-                times_from_dates(value_dt, value_dt, dc)),
+                times_from_dates(value_dt, value_dt, ddc)),
             first_fixing_rate=np.float64(
                 first_fixing_rate if override else 0.0),
             notional_exchange_amount=np.float64(
                 float(self._notional) if self._notional_exchange else 0.0),
             effective_time=np.float64(
-                times_from_dates(self._effective_dt, value_dt, dc)),
+                times_from_dates(self._effective_dt, value_dt, ddc)),
             maturity_time=np.float64(
-                times_from_dates(self._maturity_dt, value_dt, dc)),
+                times_from_dates(self._maturity_dt, value_dt, ddc)),
             cap_rate=np.float64(np.inf),
             floor_rate=np.float64(-np.inf),
             override_first=override,

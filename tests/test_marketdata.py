@@ -195,3 +195,41 @@ class TestModelSerialization:
         np.testing.assert_allclose(
             np.array(m2.curves["GBP_RPI_INFLATION"]._dfs),
             np.array(m.curves["GBP_RPI_INFLATION"]._dfs), atol=0)
+
+
+class TestOISUnderXccyCollateralMixedDc:
+    """Regression: XccyCurve.df pins ACT/365F for its date->time conversion,
+    so the engine's discount-side tensor times must be in that basis. With
+    ACT_360-accruing trade legs the old kernel discounted at leg-basis times
+    and disagreed with direct valuation by ~120 per 10M notional."""
+
+    def test_engine_equals_direct_act360_legs(self):
+        m = Model(VALUE_DT)
+        m.build_curve("USD_OIS_SOFR", px_list=[5.3, 5.0, 4.6, 4.0, 3.88],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_360,
+                      float_dc_type=DayCountTypes.ACT_360,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_curve("GBP_OIS_SONIA", px_list=[5.0, 4.7, 4.3, 3.9, 3.87],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_xccy_curve(name="GBP_USD_XCCY",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=[-5.0, -8.0, -11.0],
+                           tenor_list=["1Y", "5Y", "10Y"], spot_fx=1.27)
+        m.build_fx(["GBPUSD"], [1.27])
+
+        s = OIS(VALUE_DT, "5Y", SwapTypes.RECEIVE, 0.039,
+                FrequencyTypes.ANNUAL, DayCountTypes.ACT_360,
+                CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+                notional=10_000_000, float_dc_type=DayCountTypes.ACT_360)
+        res = s.position(m).compute([RequestTypes.VALUE],
+                                    collateral_type=CollateralType.USD)
+        direct = s.value(VALUE_DT, m.curves.GBP_OIS_SONIA,
+                         collateral_type=CollateralType.USD,
+                         xccy_discount_curve=m.curves["GBP_USD_XCCY"],
+                         spot_fx=1 / 1.27)
+        assert res.value.amount == pytest.approx(direct, abs=1e-6)
