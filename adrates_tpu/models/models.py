@@ -229,6 +229,16 @@ class Model:
         new_model._fx_params_dict = dict(self._fx_params_dict)
         params["px_list"] = px_list
         new_model.build_curve(curve_name, **params)
+
+        # Re-bootstrap dependent XCCY curves: their node DFs are functions
+        # of the underlying OIS grids, so a shocked OIS curve invalidates
+        # them. (The reference's scenario() returns a model containing ONLY
+        # the shocked curve, models.py:507-557 — keeping the rest of the
+        # market consistent is an upgrade, not a port.)
+        for dep_name, dep_params in self._curve_params_dict.items():
+            if dep_params.get("domestic_curve_name") == curve_name or \
+                    dep_params.get("foreign_curve_name") == curve_name:
+                new_model.build_xccy_curve(dep_name, **dep_params)
         return new_model
 
     def scenario_grid(self, curve_name: str,

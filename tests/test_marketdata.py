@@ -233,3 +233,44 @@ class TestOISUnderXccyCollateralMixedDc:
                          xccy_discount_curve=m.curves["GBP_USD_XCCY"],
                          spot_fx=1 / 1.27)
         assert res.value.amount == pytest.approx(direct, abs=1e-6)
+
+
+import numpy as np
+
+
+class TestScenarioDependentRebuild:
+    """scenario() must re-bootstrap XCCY curves that depend on the shocked
+    OIS curve (their node DFs are functions of the underlying grids); the
+    base model must stay untouched."""
+
+    def test_xccy_rebuilt_on_underlying_shock(self):
+        m = Model(VALUE_DT)
+        m.build_curve("USD_OIS_SOFR", px_list=[5.3, 5.0, 4.6, 4.0, 3.88],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"])
+        m.build_curve("GBP_OIS_SONIA", px_list=[5.0, 4.7, 4.3, 3.9, 3.87],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F)
+        m.build_xccy_curve(name="GBP_USD_XCCY",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=[-5.0, -8.0, -11.0],
+                           tenor_list=["1Y", "5Y", "10Y"], spot_fx=1.27)
+        base = np.asarray(m.curves["GBP_USD_XCCY"]._dfs)
+
+        # Foreign (GBP) shock moves the solved discount grid; a domestic
+        # (USD) shock leaves it invariant because the domestic calibration
+        # leg is a par floater (float + exchange projected AND discounted
+        # on the same curve telescopes to zero PV) — but the curve object
+        # must still be re-bootstrapped for consistency.
+        shocked = m.scenario("GBP_OIS_SONIA", 0.10)
+        xc = shocked.curves["GBP_USD_XCCY"]
+        assert xc is not m.curves["GBP_USD_XCCY"]
+        assert np.abs(np.asarray(xc._dfs) - base).max() > 1e-5
+
+        shocked_usd = m.scenario("USD_OIS_SOFR", 0.10)
+        xc_usd = shocked_usd.curves["GBP_USD_XCCY"]
+        assert xc_usd is not m.curves["GBP_USD_XCCY"]
+        assert np.abs(np.asarray(xc_usd._dfs) - base).max() < 1e-12
+
+        assert np.allclose(np.asarray(m.curves["GBP_USD_XCCY"]._dfs), base)
