@@ -117,9 +117,12 @@ class Engine:
             has_fixed = fixed_tensor is not None
             has_float = float_tensor is not None
 
-            def analytics(rates, ft, lt):
+            # plan/tensors enter as jit ARGUMENTS: f64 closure constants
+            # are embedded in the TPU program and run at f32 in fused ops
+            # (docs/tpu_f64_notes.md)
+            def analytics(rates, p, ft, lt):
                 def pv_fn(r):
-                    times, dfs = bootstrap_ois(r, plan)
+                    times, dfs = bootstrap_ois(r, p)
                     pv = 0.0
                     if has_fixed:
                         pv = pv + pv_fixed_leg(dfs, times, interp_type, ft)
@@ -141,8 +144,13 @@ class Engine:
 
             fn = jax.jit(analytics)
             cache[key] = fn
-        packed = np.asarray(fn(jnp.asarray(curve.swap_rates), fixed_tensor,
-                               float_tensor), dtype=np.float64)
+        plan_dev = cache.get("_plan_dev")
+        if plan_dev is None:
+            plan_dev = jax.device_put(plan)
+            cache["_plan_dev"] = plan_dev
+        packed = np.asarray(fn(jnp.asarray(curve.swap_rates), plan_dev,
+                               fixed_tensor, float_tensor),
+                            dtype=np.float64)
         n = len(curve.swap_rates)
         out = {}
         pos = 0
@@ -259,11 +267,13 @@ class Engine:
         cache = self._curve_jit_cache(ois_curve)
         fn = cache.get(key)
         if fn is None:
-            def analytics(rates, ft, lt, fx):
+            # plan + XCCY grid as jit ARGUMENTS (f64 closure constants run
+            # at f32 in fused TPU ops, docs/tpu_f64_notes.md)
+            def analytics(rates, p, xts, xdfs, ft, lt, fx):
                 def pv_fn(r):
-                    times, dfs = bootstrap_ois(r, plan)
-                    pv = pv_fixed_leg(xccy_dfs, xccy_times, xccy_it, ft)
-                    pv = pv + pv_float_leg(xccy_dfs, xccy_times, xccy_it,
+                    times, dfs = bootstrap_ois(r, p)
+                    pv = pv_fixed_leg(xdfs, xts, xccy_it, ft)
+                    pv = pv + pv_float_leg(xdfs, xts, xccy_it,
                                            lt, idx_dfs=dfs, idx_times=times,
                                            idx_interp_type=it)
                     return pv / fx
@@ -277,8 +287,12 @@ class Engine:
                 return out
             fn = jax.jit(analytics)
             cache[key] = fn
-        raw = fn(jnp.asarray(ois_curve.swap_rates), fixed_tensor,
-                 float_tensor, jnp.asarray(spot_fx))
+        plan_dev = cache.get("_plan_dev")
+        if plan_dev is None:
+            plan_dev = jax.device_put(plan)
+            cache["_plan_dev"] = plan_dev
+        raw = fn(jnp.asarray(ois_curve.swap_rates), plan_dev, xccy_times,
+                 xccy_dfs, fixed_tensor, float_tensor, jnp.asarray(spot_fx))
         out = self._package_outputs(raw, reqs, collateral_ccy,
                                     derivative._floating_index,
                                     ois_curve.swap_times)

@@ -180,12 +180,16 @@ def compute_frn(engine, derivative, reqs) -> AnalyticsResult:
         idx_it = idx_curve._interp_type
         n_disc = len(disc_curve.swap_rates)
 
-        def pv_fn(all_rates):
+        # plans/tensor as jit args (f64 closure constants run at f32 in
+        # fused TPU ops, docs/tpu_f64_notes.md)
+        consts = dict(disc_plan=disc_plan, idx_plan=idx_plan, tensor=tensor)
+
+        def pv_fn(all_rates, C):
             d_rates = all_rates[:n_disc]
             i_rates = all_rates[n_disc:]
-            d_times, d_dfs = bootstrap_ois(d_rates, disc_plan)
-            i_times, i_dfs = bootstrap_ois(i_rates, idx_plan)
-            return pv_float_leg(d_dfs, d_times, disc_it, tensor,
+            d_times, d_dfs = bootstrap_ois(d_rates, C["disc_plan"])
+            i_times, i_dfs = bootstrap_ois(i_rates, C["idx_plan"])
+            return pv_float_leg(d_dfs, d_times, disc_it, C["tensor"],
                                 idx_dfs=i_dfs, idx_times=i_times,
                                 idx_interp_type=idx_it)
 
@@ -193,10 +197,11 @@ def compute_frn(engine, derivative, reqs) -> AnalyticsResult:
                                      jnp.asarray(idx_curve.swap_rates)])
         value = risk = gamma = None
         if RequestTypes.VALUE in reqs:
-            value = Valuation(float(jax.jit(pv_fn)(all_rates)),
+            value = Valuation(float(jax.jit(pv_fn)(all_rates, consts)),
                               derivative._currency)
         if RequestTypes.DELTA in reqs:
-            lad = np.asarray(jax.jit(jax.jacrev(pv_fn))(all_rates)) * 1e-4
+            lad = np.asarray(jax.jit(jax.jacrev(pv_fn))(
+                all_rates, consts)) * 1e-4
             risk = Risk([
                 Delta(lad[:n_disc], to_tenor(list(disc_curve.swap_times)),
                       derivative._currency, CurveTypes[disc_name]),
@@ -204,7 +209,8 @@ def compute_frn(engine, derivative, reqs) -> AnalyticsResult:
                       derivative._currency, CurveTypes[idx_name])])
         if RequestTypes.GAMMA in reqs:
             g = np.asarray(
-                jax.jit(jax.jacfwd(jax.jacrev(pv_fn)))(all_rates)) * 1e-8
+                jax.jit(jax.jacfwd(jax.jacrev(pv_fn)))(
+                    all_rates, consts)) * 1e-8
             gamma = Risk([
                 Gamma(g[:n_disc, :n_disc],
                       to_tenor(list(disc_curve.swap_times)),

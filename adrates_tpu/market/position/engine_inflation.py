@@ -86,41 +86,45 @@ def _cpi_ref(index, infl_curve, ref_dt, value_dt):
 
 
 def _factor_fn(infl_curve):
-    """factor(t) interpolator over the (differentiable) factor grid."""
+    """factor(t) interpolator over the (differentiable) factor grid.
+    The pillar-time grid travels as an argument (f64 closure constants run
+    at f32 in fused TPU ops, docs/tpu_f64_notes.md)."""
     it = infl_curve._interp_type
-    swap_times = jnp.asarray(infl_curve.swap_times)
 
-    def factors_of(breakevens):
+    def factor_at(breakevens, t_query, swap_times):
         factors = jnp.power(1.0 + breakevens, swap_times)
         times = jnp.concatenate([jnp.zeros(1), swap_times])
-        return times, jnp.concatenate([jnp.ones(1), factors])
-
-    def factor_at(breakevens, t_query):
-        times, factors = factors_of(breakevens)
+        factors = jnp.concatenate([jnp.ones(1), factors])
         aux = interp_fit(times, factors, it)
         return interp_df(t_query, times, factors, it, aux)
 
     return factor_at
 
 
-def _risk_package(pv_fn, ois_rates, breakevens, reqs, ccy, ois_ct, infl_ct,
-                  ois_tenors, infl_tenors):
+def _risk_package(pv_fn, ois_rates, breakevens, consts, reqs, ccy, ois_ct,
+                  infl_ct, ois_tenors, infl_tenors):
     value = delta = gamma = None
     if RequestTypes.VALUE in reqs:
-        value = Valuation(float(jax.jit(pv_fn)(ois_rates, breakevens)), ccy)
+        value = Valuation(float(jax.jit(pv_fn)(ois_rates, breakevens,
+                                               consts)), ccy)
     if RequestTypes.DELTA in reqs:
-        d_ois = jax.jit(jax.jacrev(pv_fn, argnums=0))(ois_rates, breakevens)
-        d_be = jax.jit(jax.jacrev(pv_fn, argnums=1))(ois_rates, breakevens)
+        d_ois = jax.jit(jax.jacrev(pv_fn, argnums=0))(ois_rates, breakevens,
+                                                      consts)
+        d_be = jax.jit(jax.jacrev(pv_fn, argnums=1))(ois_rates, breakevens,
+                                                     consts)
         delta = Risk([
             Delta(np.asarray(d_ois) * 1e-4, ois_tenors, ccy, ois_ct),
             Delta(np.asarray(d_be) * 1e-4, infl_tenors, ccy, infl_ct)])
     if RequestTypes.GAMMA in reqs:
         g_ois = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
-                                   argnums=0))(ois_rates, breakevens)
+                                   argnums=0))(ois_rates, breakevens,
+                                               consts)
         g_be = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
-                                  argnums=1))(ois_rates, breakevens)
+                                  argnums=1))(ois_rates, breakevens,
+                                              consts)
         cross = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
-                                   argnums=1))(ois_rates, breakevens)
+                                   argnums=1))(ois_rates, breakevens,
+                                               consts)
         cross_gamma = CrossGamma(
             risk_matrix=np.asarray(cross) * 1e-8,
             tenors_curve1=ois_tenors, tenors_curve2=infl_tenors,
@@ -185,29 +189,38 @@ def compute_yoy_iis(engine, derivative, reqs: Set[RequestTypes]
     plan = ois_curve._plan
     it = ois_curve._interp_type
 
-    def pv_fn(ois_rates, breakevens):
-        times, dfs = bootstrap_ois(ois_rates, plan)
+    # every f64 array rides in the consts pytree (jit argument, never a
+    # closure constant — docs/tpu_f64_notes.md)
+    consts = dict(plan=plan, fixed_tensor=fixed_tensor, pay_t=pay_t,
+                  s_t=s_t, e_t=e_t, s_val=s_val, e_val=e_val,
+                  seas_s=seas_s, seas_e=seas_e, alphas=alphas,
+                  s_fixed=s_fixed, e_fixed=e_fixed,
+                  infl_times=np.asarray(infl_curve.swap_times,
+                                        dtype=np.float64))
+
+    def pv_fn(ois_rates, breakevens, C):
+        times, dfs = bootstrap_ois(ois_rates, C["plan"])
         aux = interp_fit(times, dfs, it)
-        q = jnp.concatenate([jnp.asarray(pay_t), jnp.zeros(1)])
+        q = jnp.concatenate([C["pay_t"], jnp.zeros(1)])
         out = interp_df(q, times, dfs, it, aux)
         df_pay = out[:-1] / out[-1]
 
-        f_s = factor_at(breakevens, jnp.asarray(s_t))
-        f_e = factor_at(breakevens, jnp.asarray(e_t))
-        cpi_s = jnp.where(jnp.asarray(s_fixed), jnp.asarray(s_val),
-                          jnp.asarray(seas_s) * base_cpi * f_s)
-        cpi_e = jnp.where(jnp.asarray(e_fixed), jnp.asarray(e_val),
-                          jnp.asarray(seas_e) * base_cpi * f_e)
+        f_s = factor_at(breakevens, C["s_t"], C["infl_times"])
+        f_e = factor_at(breakevens, C["e_t"], C["infl_times"])
+        cpi_s = jnp.where(C["s_fixed"], C["s_val"],
+                          C["seas_s"] * base_cpi * f_s)
+        cpi_e = jnp.where(C["e_fixed"], C["e_val"],
+                          C["seas_e"] * base_cpi * f_e)
         yoy = cpi_e / cpi_s - 1.0
-        payments = notional * jnp.asarray(alphas) * (yoy + spread)
+        payments = notional * C["alphas"] * (yoy + spread)
         infl_pv = leg_sign * jnp.sum(payments * df_pay)
 
-        fixed_pv = pv_fixed_leg(dfs, times, it, fixed_tensor)
+        fixed_pv = pv_fixed_leg(dfs, times, it, C["fixed_tensor"])
         return fixed_pv + infl_pv
 
     value, delta, gamma = _risk_package(
         pv_fn, jnp.asarray(ois_curve.swap_rates),
-        jnp.asarray(infl_curve.breakeven_rates), reqs, ccy, ois_ct,
+        jnp.asarray(infl_curve.breakeven_rates), consts, reqs, ccy, ois_ct,
         infl_ct, to_tenor(list(ois_curve.swap_times)),
         list(infl_curve.tenors))
 
@@ -271,24 +284,32 @@ def compute_zcis(engine, derivative, reqs: Set[RequestTypes]
     it = ois_curve._interp_type
     notional = derivative._notional
 
-    def pv_fn(ois_rates, breakevens):
-        times, dfs = bootstrap_ois(ois_rates, plan)
+    # f64 scalars/arrays as jit args (docs/tpu_f64_notes.md)
+    consts = dict(plan=plan,
+                  q=np.array([pay_t, 0.0], dtype=np.float64),
+                  tq=np.array([b_t, f_t], dtype=np.float64),
+                  b_val=np.float64(b_val), f_val=np.float64(f_val),
+                  infl_times=np.asarray(infl_curve.swap_times,
+                                        dtype=np.float64))
+
+    def pv_fn(ois_rates, breakevens, C):
+        times, dfs = bootstrap_ois(ois_rates, C["plan"])
         aux = interp_fit(times, dfs, it)
-        q = jnp.asarray([pay_t, 0.0])
-        out = interp_df(q, times, dfs, it, aux)
+        out = interp_df(C["q"], times, dfs, it, aux)
         df_pay = jnp.where(live, out[0] / out[1], 0.0)
 
-        tq = jnp.asarray([b_t, f_t])
-        f_curve = factor_at(breakevens, tq)
-        cpi_b = jnp.where(b_fixed, b_val, seas_b * base_cpi * f_curve[0])
-        cpi_f = jnp.where(f_fixed, f_val, seas_f * base_cpi * f_curve[1])
+        f_curve = factor_at(breakevens, C["tq"], C["infl_times"])
+        cpi_b = jnp.where(b_fixed, C["b_val"],
+                          seas_b * base_cpi * f_curve[0])
+        cpi_f = jnp.where(f_fixed, C["f_val"],
+                          seas_f * base_cpi * f_curve[1])
         infl_payment = notional * (cpi_f / cpi_b - 1.0)
         return (fixed_sign * fixed_payment
                 + infl_sign * infl_payment) * df_pay
 
     value, delta, gamma = _risk_package(
         pv_fn, jnp.asarray(ois_curve.swap_rates),
-        jnp.asarray(infl_curve.breakeven_rates), reqs, ccy, ois_ct,
+        jnp.asarray(infl_curve.breakeven_rates), consts, reqs, ccy, ois_ct,
         infl_ct, to_tenor(list(ois_curve.swap_times)),
         list(infl_curve.tenors))
 

@@ -190,38 +190,58 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
         live = q >= 0.0
         return jnp.sum(jnp.where(live, amts * d, 0.0))
 
-    def pv_fn(dom_rates, for_rates, xccy_dfs):
-        dom_times, dom_dfs = bootstrap_ois(dom_rates, dom_plan)
-        for_times, for_dfs = bootstrap_ois(for_rates, for_plan)
+    # All f64-bearing pytrees travel as an explicit argument: closure
+    # constants are embedded in the compiled TPU program and participate
+    # in fused elementwise ops at f32 (docs/tpu_f64_notes.md).
+    consts = dict(dom_plan=dom_plan, for_plan=for_plan,
+                  xccy_plan=xccy_plan, xccy_times_grid=xccy_times_grid,
+                  pv_domestic=pv_domestic, for_grid_times=for_grid_times)
+    if dom_is_fixed:
+        consts.update(dom_tensor=dom_tensor, eff_t=eff_t, mat_t=mat_t)
+    else:
+        consts.update(dom_tensor=dom_tensor)
+    if for_is_fixed:
+        consts.update(for_tensor=for_tensor, for_eff_t=for_eff_t,
+                      for_mat_t=for_mat_t)
+    else:
+        consts.update(for_tensor=for_tensor)
+
+    def pv_fn(dom_rates, for_rates, xccy_dfs, C):
+        dom_times, dom_dfs = bootstrap_ois(dom_rates, C["dom_plan"])
+        for_times, for_dfs = bootstrap_ois(for_rates, C["for_plan"])
 
         # domestic leg on the domestic OIS curve
         if dom_is_fixed:
-            dom_pv = pv_fixed_leg(dom_dfs, dom_times, dom_it, dom_tensor)
+            dom_pv = pv_fixed_leg(dom_dfs, dom_times, dom_it,
+                                  C["dom_tensor"])
             dom_pv = dom_pv + exchange_pv(dom_dfs, dom_times, dom_it,
-                                          eff_t, mat_t, dom_notional,
-                                          dom_sign)
+                                          C["eff_t"], C["mat_t"],
+                                          dom_notional, dom_sign)
         else:
-            dom_pv = pv_float_leg(dom_dfs, dom_times, dom_it, dom_tensor)
+            dom_pv = pv_float_leg(dom_dfs, dom_times, dom_it,
+                                  C["dom_tensor"])
 
         # foreign leg: projected on foreign OIS, discounted on XCCY
         if for_is_fixed:
-            for_pv = pv_fixed_leg(xccy_dfs, xccy_times_grid, xccy_it,
-                                  for_tensor)
-            for_pv = for_pv + exchange_pv(xccy_dfs, xccy_times_grid,
-                                          xccy_it, for_eff_t, for_mat_t,
+            for_pv = pv_fixed_leg(xccy_dfs, C["xccy_times_grid"], xccy_it,
+                                  C["for_tensor"])
+            for_pv = for_pv + exchange_pv(xccy_dfs, C["xccy_times_grid"],
+                                          xccy_it, C["for_eff_t"],
+                                          C["for_mat_t"],
                                           for_notional, for_sign)
         else:
-            for_pv = pv_float_leg(xccy_dfs, xccy_times_grid, xccy_it,
-                                  for_tensor, idx_dfs=for_dfs,
+            for_pv = pv_float_leg(xccy_dfs, C["xccy_times_grid"], xccy_it,
+                                  C["for_tensor"], idx_dfs=for_dfs,
                                   idx_times=for_times,
                                   idx_interp_type=for_it)
 
         return dom_pv + spot_fx * for_pv
 
-    def xccy_dfs_fn(spreads, for_rates):
-        _, for_dfs = bootstrap_ois(for_rates, for_plan)
-        _, dfs = bootstrap_xccy(spreads, pv_domestic, for_grid_times,
-                                for_dfs, spot_fx, xccy_plan,
+    def xccy_dfs_fn(spreads, for_rates, C):
+        _, for_dfs = bootstrap_ois(for_rates, C["for_plan"])
+        _, dfs = bootstrap_xccy(spreads, C["pv_domestic"],
+                                C["for_grid_times"],
+                                for_dfs, spot_fx, C["xccy_plan"],
                                 foreign_interp_type=for_it)
         return dfs
 
@@ -236,17 +256,18 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
     value = None
     if RequestTypes.VALUE in reqs:
         value = Valuation(float(jax.jit(pv_fn)(dom_rates0, for_rates0,
-                                               xccy_dfs0)), dom_ccy)
+                                               xccy_dfs0, consts)),
+                          dom_ccy)
 
     delta = None
     if RequestTypes.DELTA in reqs:
         d_dom = jax.jit(jax.jacrev(pv_fn, argnums=0))(
-            dom_rates0, for_rates0, xccy_dfs0)
+            dom_rates0, for_rates0, xccy_dfs0, consts)
         d_for = jax.jit(jax.jacrev(pv_fn, argnums=1))(
-            dom_rates0, for_rates0, xccy_dfs0)
-        basis_pv = lambda s: pv_fn(dom_rates0, for_rates0,
-                                   xccy_dfs_fn(s, for_rates0))
-        d_basis = jax.jit(jax.jacrev(basis_pv))(spreads0)
+            dom_rates0, for_rates0, xccy_dfs0, consts)
+        basis_pv = lambda s, C: pv_fn(dom_rates0, for_rates0,
+                                      xccy_dfs_fn(s, for_rates0, C), C)
+        d_basis = jax.jit(jax.jacrev(basis_pv))(spreads0, consts)
         delta = Risk([
             Delta(np.asarray(d_dom) * 1e-4,
                   to_tenor(list(dom_curve.swap_times)), dom_ccy,
@@ -262,19 +283,22 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
     if RequestTypes.GAMMA in reqs:
         g_dom = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
                                    argnums=0))(dom_rates0, for_rates0,
-                                               xccy_dfs0)
+                                               xccy_dfs0, consts)
         g_for = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
                                    argnums=1))(dom_rates0, for_rates0,
-                                               xccy_dfs0)
-        basis_pv = lambda s: pv_fn(dom_rates0, for_rates0,
-                                   xccy_dfs_fn(s, for_rates0))
-        g_basis = jax.jit(jax.jacfwd(jax.jacrev(basis_pv)))(spreads0)
+                                               xccy_dfs0, consts)
+        basis_pv = lambda s, C: pv_fn(dom_rates0, for_rates0,
+                                      xccy_dfs_fn(s, for_rates0, C), C)
+        g_basis = jax.jit(jax.jacfwd(jax.jacrev(basis_pv)))(spreads0,
+                                                            consts)
 
         # cross-gamma foreign x basis: FULL mixed second derivative of
         # f(for, spreads) = PV(dom0, for, xccy(spreads, for))
-        f_cross = lambda fr, s: pv_fn(dom_rates0, fr, xccy_dfs_fn(s, fr))
+        f_cross = lambda fr, s, C: pv_fn(dom_rates0, fr,
+                                         xccy_dfs_fn(s, fr, C), C)
         cross = jax.jit(jax.jacfwd(jax.jacrev(f_cross, argnums=0),
-                                   argnums=1))(for_rates0, spreads0)
+                                   argnums=1))(for_rates0, spreads0,
+                                               consts)
 
         cross_gamma = CrossGamma(
             risk_matrix=np.asarray(cross) * 1e-8,

@@ -253,14 +253,16 @@ class Model:
 
         from ..ops.bootstrap import bootstrap_ois
 
+        # base/plan as jit args (f64 closure constants run at f32 in
+        # fused TPU ops, docs/tpu_f64_notes.md)
         @jax.jit
-        def run(shock_matrix):
+        def run(shock_matrix, base_, plan_):
             def one(shock_vec):
-                _, dfs = bootstrap_ois(base + shock_vec, plan)
+                _, dfs = bootstrap_ois(base_ + shock_vec, plan_)
                 return dfs
             return jax.vmap(one)(shock_matrix)
 
-        return run(shocks)
+        return run(shocks, base, plan)
 
     # ------------------------------------------------------------------
     # persistence

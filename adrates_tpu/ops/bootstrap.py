@@ -35,13 +35,25 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Sequence
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
 
-class OISBootstrapPlan(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OISBootstrapPlan:
     """Static topology of an OIS bootstrap (a pytree of arrays).
+
+    The plan is a registered pytree so it can be passed as a jit ARGUMENT:
+    f64 arrays captured as closure constants are embedded in the compiled
+    TPU program and participate in fused elementwise ops at float32 (
+    measured: const-vs-param subtraction error 7.2e-7 — see
+    docs/tpu_f64_notes.md), so every jitted pricing function must take the
+    plan as an argument, never close over it.
 
     point_times: [P] exact time of each bootstrap point (sorted ascending)
     accs:        [P] accrual fraction of the period ending at the point
@@ -58,8 +70,10 @@ class OISBootstrapPlan(NamedTuple):
     pillar_idx: np.ndarray
     swap_times: np.ndarray
     pillar_point: np.ndarray
-    depth: int = 0  # max dependency-chain length (wavefront iterations)
-    loglinear_rates: bool = True  # sub-pillar rate interpolation space
+    depth: int = dataclasses.field(
+        default=0, metadata=dict(static=True))  # max dependency-chain length
+    loglinear_rates: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))  # rate interp space
 
 
 def prepare_ois_plan(swap_times: Sequence[float],

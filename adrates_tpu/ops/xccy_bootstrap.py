@@ -31,15 +31,23 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
 
-class XccyBootstrapPlan(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class XccyBootstrapPlan:
     """Static topology of an XCCY bootstrap (chain points sorted by
-    (time, swap index); value-date points excluded from the chain)."""
+    (time, swap index); value-date points excluded from the chain).
+
+    Registered pytree: pass as a jit ARGUMENT, never close over it — f64
+    closure constants run at f32 in fused TPU ops (docs/tpu_f64_notes.md).
+    """
     times: np.ndarray            # [n] payment times (ACT/365F curve units)
     pay_t_foreign: np.ndarray    # [n] payment times in foreign-curve units
     start_t: np.ndarray          # [n] accrual starts (foreign-curve units)
@@ -63,7 +71,8 @@ class XccyBootstrapPlan(NamedTuple):
     seg_onehot: np.ndarray       # [S+1, n]
     v0: np.ndarray               # [S] value-date cashflow sums per swap
     unique_sel: np.ndarray       # [U] int32 first-occurrence node indices
-    foreign_sign: float          # -1.0 for PAY foreign legs
+    foreign_sign: float = dataclasses.field(
+        default=-1.0, metadata=dict(static=True))  # -1.0 for PAY legs
 
 
 def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,

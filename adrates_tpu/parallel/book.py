@@ -330,18 +330,23 @@ def make_book_fn(plan, interp_type, want_gamma: bool = True):
     AD graph never differentiates through the [B, P] gathers.
     """
 
+    # plan rides as a jit ARGUMENT (f64 closure constants run at f32 in
+    # fused TPU ops, docs/tpu_f64_notes.md); the public signature is
+    # unchanged. device_put once so repeat calls don't re-transfer it.
+    plan = jax.device_put(plan)
+
     @jax.jit
-    def fn(rates, book, agg, shocks):
+    def _fn(rates, p, book, agg, shocks):
         # Per-trade PVs stream scenario-by-scenario (lax.map) so the
         # [B, P] gather temporaries exist for ONE scenario at a time —
         # vmapping them across 100 scenarios blows past HBM.
         pvs = lax.map(
-            lambda shock: book_pvs(rates + shock, plan, interp_type, book),
+            lambda shock: book_pvs(rates + shock, p, interp_type, book),
             shocks)
 
         def one_scenario(shock):
             r = rates + shock
-            total = lambda rr: aggregate_total_pv(rr, plan, interp_type,
+            total = lambda rr: aggregate_total_pv(rr, p, interp_type,
                                                   agg)
             out = {"delta": jax.jacrev(total)(r)}
             if want_gamma:
@@ -351,6 +356,9 @@ def make_book_fn(plan, interp_type, want_gamma: bool = True):
         out = jax.vmap(one_scenario)(shocks)
         out["pvs"] = pvs
         return out
+
+    def fn(rates, book, agg, shocks):
+        return _fn(rates, plan, book, agg, shocks)
 
     return fn
 
@@ -380,19 +388,26 @@ def make_sharded_book_fn(plan, interp_type, mesh: Mesh,
            for f in dataclasses.fields(BookTensors)
            if f.name != "unique_times"})
 
-    @partial(jax.jit, in_shardings=(repl, book_shardings, repl))
-    def fn(rates, book, shocks):
+    # plan replicated as an argument (prefix sharding broadcasts over its
+    # leaves); f64 closure constants run at f32 in fused TPU ops.
+    plan = jax.device_put(plan, repl)
+
+    @partial(jax.jit, in_shardings=(repl, repl, book_shardings, repl))
+    def _fn(rates, p, book, shocks):
         def one_scenario(shock):
             r = rates + shock
-            pvs = book_pvs(r, plan, interp_type, book)
+            pvs = book_pvs(r, p, interp_type, book)
             total = lambda rr: jnp.sum(
-                book_pvs(rr, plan, interp_type, book))
+                book_pvs(rr, p, interp_type, book))
             delta = jax.jacrev(total)(r)
             out = {"total_pv": jnp.sum(pvs), "delta": delta}
             if want_gamma:
                 out["gamma"] = jax.jacfwd(jax.jacrev(total))(r)
             return out
         return jax.vmap(one_scenario)(shocks)
+
+    def fn(rates, book, shocks):
+        return _fn(rates, plan, book, shocks)
 
     return fn
 
@@ -404,15 +419,20 @@ def make_pershard_aggregate_fn(plan, interp_type, mesh: Mesh,
     on every device."""
     repl = NamedSharding(mesh, P())
 
-    @partial(jax.jit, in_shardings=(repl, repl, repl))
-    def fn(rates, agg, shocks):
+    plan = jax.device_put(plan, repl)
+
+    @partial(jax.jit, in_shardings=(repl, repl, repl, repl))
+    def _fn(rates, p, agg, shocks):
         def one_scenario(shock):
             r = rates + shock
-            total = lambda rr: aggregate_total_pv(rr, plan, interp_type,
+            total = lambda rr: aggregate_total_pv(rr, p, interp_type,
                                                   agg)
             return {"total_pv": total(r),
                     "delta": jax.jacrev(total)(r),
                     "gamma": jax.jacfwd(jax.jacrev(total))(r)}
         return jax.vmap(one_scenario)(shocks)
+
+    def fn(rates, agg, shocks):
+        return _fn(rates, plan, agg, shocks)
 
     return fn

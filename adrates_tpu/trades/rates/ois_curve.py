@@ -50,9 +50,11 @@ class OISCurve(DiscountCurve):
             loglinear_rates=all(r > 0 for r in self.swap_rates))
 
         # jit the constructor bootstrap: eager lax ops each pay a remote
-        # dispatch/compile through the TPU tunnel
-        times, dfs = jax.jit(lambda r: bootstrap_ois(r, self._plan))(
-            jnp.asarray(self.swap_rates))
+        # dispatch/compile through the TPU tunnel. The plan is a jit
+        # ARGUMENT — f64 closure constants run at f32 in fused TPU ops
+        # (docs/tpu_f64_notes.md).
+        times, dfs = jax.jit(bootstrap_ois)(
+            jnp.asarray(self.swap_rates), self._plan)
         self._times = times
         self._dfs = dfs
         self._repr_dfs = dfs[jnp.asarray(self._plan.pillar_point) + 1]
@@ -111,10 +113,12 @@ class OISCurve(DiscountCurve):
         costs minutes through the remote-compile tunnel."""
         from ...parallel.book import book_pvs, compile_book
 
-        book = compile_book(self._used_swaps, self._value_dt)
+        book = compile_book(self._used_swaps, self._value_dt,
+                            index_dc=self._dc_type)
+        # plan/book as jit args (f64 closure constants run at f32 on TPU)
         pvs = np.asarray(jax.jit(
-            lambda r: book_pvs(r, self._plan, self._interp_type, book))(
-                jnp.asarray(self.swap_rates)))
+            lambda r, p, b: book_pvs(r, p, self._interp_type, b))(
+                jnp.asarray(self.swap_rates), self._plan, book))
         for swap, pv in zip(self._used_swaps, pvs):
             v = pv / swap._notional
             if abs(v) > swap_tol:

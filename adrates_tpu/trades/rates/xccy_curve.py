@@ -216,14 +216,24 @@ class XccyCurve(DiscountCurve):
 
     # ------------------------------------------------------------------
 
-    def _dfs_from(self, spreads, foreign_dfs):
-        """XCCY node DFs as a function of (spreads, foreign grid DFs)."""
+    def _dfs_from(self, spreads, foreign_dfs, consts=None):
+        """XCCY node DFs as a function of (spreads, foreign grid DFs).
+
+        ``consts`` carries (pv_domestic, foreign grid times, plan) as a jit
+        argument — f64 closure constants run at f32 in fused TPU ops
+        (docs/tpu_f64_notes.md)."""
+        if consts is None:
+            consts = self._jac_consts()
         _, dfs = bootstrap_xccy(
-            spreads, jnp.asarray(self._pv_domestic),
-            jnp.asarray(self._foreign_curve._times), foreign_dfs,
-            self._spot_fx, self._plan,
+            spreads, consts["pv_dom"], consts["for_times"], foreign_dfs,
+            self._spot_fx, consts["plan"],
             foreign_interp_type=self._foreign_curve._interp_type)
         return dfs
+
+    def _jac_consts(self):
+        return dict(pv_dom=jnp.asarray(self._pv_domestic),
+                    for_times=jnp.asarray(self._foreign_curve._times),
+                    plan=self._plan)
 
     def _compute_jacobians(self):
         """Reference-parity sensitivity tensors of the node DFs — LAZY:
@@ -243,31 +253,37 @@ class XccyCurve(DiscountCurve):
     def _jac_basis(self):
         spreads = jnp.asarray(self.basis_spreads)
         fdfs = jnp.asarray(self._foreign_curve._dfs)
-        return self._lazy_jac("jac_basis", lambda: jax.jacrev(
-            lambda s: self._dfs_from(s, fdfs))(spreads))
+        C = self._jac_consts()
+        return self._lazy_jac("jac_basis", lambda: jax.jit(
+            jax.jacrev(self._dfs_from, argnums=0))(spreads, fdfs, C))
 
     @property
     def _hess_basis(self):
         spreads = jnp.asarray(self.basis_spreads)
         fdfs = jnp.asarray(self._foreign_curve._dfs)
-        return self._lazy_jac("hess_basis", lambda: jax.jacfwd(jax.jacrev(
-            lambda s: self._dfs_from(s, fdfs)))(spreads))
+        C = self._jac_consts()
+        return self._lazy_jac("hess_basis", lambda: jax.jit(jax.jacfwd(
+            jax.jacrev(self._dfs_from, argnums=0),
+            argnums=0))(spreads, fdfs, C))
 
     @property
     def _jac_foreign_curve_dfs(self):
         spreads = jnp.asarray(self.basis_spreads)
         fdfs = jnp.asarray(self._foreign_curve._dfs)
-        return self._lazy_jac("jac_foreign", lambda: jax.jacrev(
-            lambda d: self._dfs_from(spreads, d))(fdfs))
+        C = self._jac_consts()
+        return self._lazy_jac("jac_foreign", lambda: jax.jit(
+            jax.jacrev(self._dfs_from, argnums=1))(spreads, fdfs, C))
 
     @property
     def _mixed_hess_foreign_basis(self):
         spreads = jnp.asarray(self.basis_spreads)
         fdfs = jnp.asarray(self._foreign_curve._dfs)
+        C = self._jac_consts()
 
         def build():
-            mixed = jax.jacrev(jax.jacfwd(self._dfs_from, argnums=1),
-                               argnums=0)(spreads, fdfs)
+            mixed = jax.jit(jax.jacrev(
+                jax.jacfwd(self._dfs_from, argnums=1),
+                argnums=0))(spreads, fdfs, C)
             # [n_xccy, n_basis, n_foreign]
             return jnp.transpose(mixed, (0, 2, 1))
         return self._lazy_jac("mixed_hess", build)

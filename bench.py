@@ -69,12 +69,15 @@ def main():
 
     # warm re-bootstrap (the scenario path)
     from adrates_tpu.ops.bootstrap import bootstrap_ois
-    reboot = jax.jit(lambda r: bootstrap_ois(r, curve._plan))
+    # plan as a jit argument (f64 closure constants run at f32 on TPU);
+    # device_put once so the loop doesn't re-transfer it
+    reboot = jax.jit(bootstrap_ois)
+    plan_dev = jax.device_put(curve._plan)
     r_jnp = jnp.asarray(curve.swap_rates)
-    reboot(r_jnp)[1].block_until_ready()
+    reboot(r_jnp, plan_dev)[1].block_until_ready()
     t0 = time.perf_counter()
     for _ in range(100):
-        out = reboot(r_jnp)
+        out = reboot(r_jnp, plan_dev)
     out[1].block_until_ready()
     boot_ms = (time.perf_counter() - t0) / 100 * 1e3
     log(f"bootstrap 32-pillar (warm, jitted): {boot_ms:.3f} ms "
