@@ -201,27 +201,46 @@ def tile_book(base: BookTensors, n_copies: int, coupon_scale=None,
 # ---------------------------------------------------------------------------
 
 
+def _combine_book(book: BookTensors):
+    """Collapse the scenario-invariant per-slot data to three weight
+    arrays, so the per-scenario PV pass reads 3 f64 + 4 int32 arrays per
+    slot instead of 8 f64 + 4 int32 (the 100-scenario book PV sweep is
+    HBM-bandwidth bound):
+
+      pv_b = sum_p w_fix*df[fix] + (w_fwd*(df_s/df_e - 1) + w_spr)*df_pay
+    """
+    w_fix = book.fix_payments * book.fix_mask
+    ia = book.flt_index_alphas
+    ratio = jnp.where(ia > 0.0,
+                      book.flt_pay_alphas / jnp.where(ia > 0.0, ia, 1.0),
+                      0.0)
+    w_fwd = ratio * book.flt_notionals * book.flt_mask
+    w_spr = book.flt_spreads * book.flt_pay_alphas * book.flt_notionals \
+        * book.flt_mask
+    return w_fix, w_fwd, w_spr
+
+
+def _pvs_from_grid(dfs_u, book: BookTensors, combined):
+    """Per-trade PVs from an interpolated unique-grid DF vector."""
+    w_fix, w_fwd, w_spr = combined
+    fix_pv = jnp.sum(w_fix * dfs_u[book.fix_idx], axis=1)
+    df_s = dfs_u[book.flt_start_idx]
+    df_e = dfs_u[book.flt_end_idx]
+    df_p = dfs_u[book.flt_pay_idx]
+    cf = w_fwd * (df_s / df_e - 1.0) + w_spr
+    return fix_pv + jnp.sum(cf * df_p, axis=1)
+
+
 def book_pvs(rates, plan: OISBootstrapPlan, interp_type: InterpTypes,
-             book: BookTensors):
+             book: BookTensors, combined=None):
     """Per-trade PVs [B]: one bootstrap, one interpolation over the unique
     grid, per-trade gathers + fused arithmetic."""
     times, dfs = bootstrap_ois(rates, plan)
     aux = interp_fit(times, dfs, interp_type)
     dfs_u = interp_df(book.unique_times, times, dfs, interp_type, aux)
-
-    # fixed side
-    fix_pv = jnp.sum(book.fix_payments * dfs_u[book.fix_idx]
-                     * book.fix_mask, axis=1)
-
-    # float side: fwd = (df_s/df_e - 1)/alpha
-    df_s = dfs_u[book.flt_start_idx]
-    df_e = dfs_u[book.flt_end_idx]
-    df_p = dfs_u[book.flt_pay_idx]
-    fwd = jnp.where(book.flt_index_alphas > 0.0,
-                    (df_s / df_e - 1.0) / book.flt_index_alphas, 0.0)
-    cf = (fwd + book.flt_spreads) * book.flt_pay_alphas * book.flt_notionals
-    flt_pv = jnp.sum(cf * df_p * book.flt_mask, axis=1)
-    return fix_pv + flt_pv
+    if combined is None:
+        combined = _combine_book(book)
+    return _pvs_from_grid(dfs_u, book, combined)
 
 
 @jax.tree_util.register_dataclass
@@ -339,9 +358,13 @@ def make_book_fn(plan, interp_type, want_gamma: bool = True):
     def _fn(rates, p, book, agg, shocks):
         # Per-trade PVs stream scenario-by-scenario (lax.map) so the
         # [B, P] gather temporaries exist for ONE scenario at a time —
-        # vmapping them across 100 scenarios blows past HBM.
+        # vmapping them across 100 scenarios blows past HBM. The
+        # scenario-invariant slot weights are combined ONCE outside the
+        # loop (the sweep is HBM-bandwidth bound).
+        combined = _combine_book(book)
         pvs = lax.map(
-            lambda shock: book_pvs(rates + shock, p, interp_type, book),
+            lambda shock: book_pvs(rates + shock, p, interp_type, book,
+                                   combined),
             shocks)
 
         def one_scenario(shock):
