@@ -356,16 +356,22 @@ def make_book_fn(plan, interp_type, want_gamma: bool = True):
 
     @jax.jit
     def _fn(rates, p, book, agg, shocks):
-        # Per-trade PVs stream scenario-by-scenario (lax.map) so the
-        # [B, P] gather temporaries exist for ONE scenario at a time —
-        # vmapping them across 100 scenarios blows past HBM. The
-        # scenario-invariant slot weights are combined ONCE outside the
-        # loop (the sweep is HBM-bandwidth bound).
+        # Per-trade PVs in two phases: all scenario DF grids first (one
+        # vmapped bootstrap+interp, [S, U] is tiny), then the [B, P]
+        # gather sweep streams scenario-by-scenario (lax.map) so its
+        # temporaries exist for ONE scenario at a time — vmapping them
+        # across 100 scenarios blows past HBM. The scenario-invariant
+        # slot weights are combined ONCE (the sweep is HBM-bound).
         combined = _combine_book(book)
-        pvs = lax.map(
-            lambda shock: book_pvs(rates + shock, p, interp_type, book,
-                                   combined),
-            shocks)
+
+        def grid(shock):
+            ts, ds = bootstrap_ois(rates + shock, p)
+            aux = interp_fit(ts, ds, interp_type)
+            return interp_df(book.unique_times, ts, ds, interp_type, aux)
+
+        dfs_u_all = jax.vmap(grid)(shocks)          # [S, U]
+        pvs = lax.map(lambda du: _pvs_from_grid(du, book, combined),
+                      dfs_u_all)
 
         def one_scenario(shock):
             r = rates + shock
@@ -459,3 +465,113 @@ def make_pershard_aggregate_fn(plan, interp_type, mesh: Mesh,
         return _fn(rates, plan, agg, shocks)
 
     return fn
+
+
+def _slice_book(book: BookTensors, rows: slice, pad: int) -> BookTensors:
+    """Row/pad-slice of a compiled book (padded slots sit at the END of
+    each row, so truncating the slot axis keeps every live payment)."""
+    def cut(x):
+        x = np.asarray(x)
+        return x[rows, :pad] if x.ndim == 2 else x
+    return BookTensors(
+        unique_times=book.unique_times,
+        **{f.name: cut(getattr(book, f.name))
+           for f in dataclasses.fields(BookTensors)
+           if f.name != "unique_times"})
+
+
+def compile_book_buckets(swaps, value_dt, index_dc=None,
+                         n_buckets: int = 4):
+    """Compile a heterogeneous book into pad-size buckets sharing ONE
+    unique-time grid.
+
+    Padding cost is B x P_max per scenario regardless of how many slots
+    are live; a book mixing 1Y and 50Y swaps pads every 1Y trade with
+    ~49 dead slots. Sorting trades by payment count and padding each
+    bucket to its own maximum cuts the (HBM-bandwidth-bound) gather
+    sweep traffic by the live/padded ratio.
+
+    Returns (books, order): per-bucket BookTensors and the permutation
+    such that concatenated bucket PVs follow swaps[order].
+    """
+    sizes = np.array([max(len(s._fixed_leg._payment_dts),
+                          len(s._float_leg._payment_dts)) for s in swaps])
+    order = np.argsort(sizes, kind="stable")
+    big = compile_book([swaps[i] for i in order], value_dt,
+                       index_dc=index_dc)
+    sorted_sizes = sizes[order]
+    n = len(swaps)
+    # equal-count buckets over the sorted trades; contiguous buckets with
+    # the same pad collapse (homogeneous books degrade to one bucket)
+    bounds = np.linspace(0, n, min(n_buckets, n) + 1).astype(int)
+    spans = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        pad = int(sorted_sizes[lo:hi].max())
+        if spans and spans[-1][2] == pad:
+            spans[-1] = (spans[-1][0], hi, pad)
+        else:
+            spans.append((lo, hi, pad))
+    books = [_slice_book(big, slice(int(lo), int(hi)), pad)
+             for lo, hi, pad in spans]
+    return books, order
+
+
+def make_bucketed_book_fn(plan, interp_type, want_gamma: bool = True):
+    """make_book_fn over a tuple of pad-bucketed books: per-trade PVs are
+    concatenated in bucket order; delta/gamma come from the aggregate."""
+    plan = jax.device_put(plan)
+
+    @jax.jit
+    def _fn(rates, p, books, agg, shocks):
+        def grid(shock):
+            ts, ds = bootstrap_ois(rates + shock, p)
+            aux = interp_fit(ts, ds, interp_type)
+            return interp_df(books[0].unique_times, ts, ds, interp_type,
+                             aux)
+
+        dfs_u_all = jax.vmap(grid)(shocks)          # [S, U]
+        combos = [_combine_book(b) for b in books]
+        pvs = lax.map(
+            lambda du: jnp.concatenate(
+                [_pvs_from_grid(du, b, c) for b, c in zip(books, combos)]),
+            dfs_u_all)
+
+        def one_scenario(shock):
+            r = rates + shock
+            total = lambda rr: aggregate_total_pv(rr, p, interp_type, agg)
+            out = {"delta": jax.jacrev(total)(r)}
+            if want_gamma:
+                out["gamma"] = jax.jacfwd(jax.jacrev(total))(r)
+            return out
+
+        out = jax.vmap(one_scenario)(shocks)
+        out["pvs"] = pvs
+        return out
+
+    def fn(rates, books, agg, shocks):
+        return _fn(rates, plan, tuple(books), agg, shocks)
+
+    return fn
+
+
+def merge_aggregates(aggs):
+    """Sum BookAggregates sharing one unique grid: linear weights add,
+    forward triples concatenate with (s, e, p)-key deduplication."""
+    U = int(aggs[0].unique_times.shape[0])
+    w_lin = np.sum([np.asarray(a.w_lin) for a in aggs], axis=0)
+    s = np.concatenate([np.asarray(a.trip_s) for a in aggs])
+    e = np.concatenate([np.asarray(a.trip_e) for a in aggs])
+    p = np.concatenate([np.asarray(a.trip_p) for a in aggs])
+    w = np.concatenate([np.asarray(a.trip_w) for a in aggs])
+    key = (s.astype(np.int64) * U + e) * U + p
+    uniq, inverse = np.unique(key, return_inverse=True)
+    trip_w = np.bincount(inverse, weights=w)
+    return BookAggregate(
+        w_lin=jnp.asarray(w_lin),
+        trip_s=jnp.asarray((uniq // (U * U)).astype(np.int32)),
+        trip_e=jnp.asarray(((uniq // U) % U).astype(np.int32)),
+        trip_p=jnp.asarray((uniq % U).astype(np.int32)),
+        trip_w=jnp.asarray(trip_w),
+        unique_times=aggs[0].unique_times)

@@ -42,7 +42,9 @@ def main():
                                    FrequencyTypes, RequestTypes, SwapTypes)
     from adrates_tpu.models import Model
     from adrates_tpu.parallel import (aggregate_book, compile_book,
-                                      make_book_fn, tile_book)
+                                      compile_book_buckets,
+                                      make_book_fn, make_bucketed_book_fn,
+                                      merge_aggregates, tile_book)
     from adrates_tpu.trades.rates import OIS
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
@@ -115,31 +117,37 @@ def main():
             float_dc_type=DayCountTypes.ACT_365F,
             bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING))
     t0 = time.perf_counter()
-    base_book = compile_book(base_swaps, value_dt)
+    # pad-size buckets: mixing 1Y..50Y trades in one [B, 50] tensor wastes
+    # most of the (HBM-bound) gather sweep on dead padded slots
+    base_books, _ = compile_book_buckets(base_swaps, value_dt, n_buckets=4)
     n_trades = 100_000
     n_copies = n_trades // len(base_swaps)
-    book = tile_book(base_book, n_copies,
-                     coupon_scale=rng.uniform(0.8, 1.2, n_copies),
-                     notional_scale=rng.uniform(0.5, 2.0, n_copies))
-    log(f"book compile+tile to {book.num_trades} trades: "
+    cs = rng.uniform(0.8, 1.2, n_copies)
+    ns = rng.uniform(0.5, 2.0, n_copies)
+    books = [tile_book(b, n_copies, coupon_scale=cs, notional_scale=ns)
+             for b in base_books]
+    n_total = sum(b.num_trades for b in books)
+    log(f"book compile+tile to {n_total} trades: "
         f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
-        f"(unique times: {book.unique_times.shape[0]})")
+        f"(unique times: {books[0].unique_times.shape[0]}, "
+        f"bucket pads: {[b.fix_idx.shape[1] for b in books]})")
 
     n_scen = 100
     shocks = jnp.asarray(rng.normal(0.0, 1e-3,
                                     (n_scen, len(rates))))
 
-    agg = aggregate_book(book)
-    fn = make_book_fn(curve._plan, curve._interp_type, want_gamma=True)
-    out = fn(r_jnp, book, agg, shocks[:1])  # compile with S=1
+    agg = merge_aggregates([aggregate_book(b) for b in books])
+    fn = make_bucketed_book_fn(curve._plan, curve._interp_type,
+                               want_gamma=True)
+    out = fn(r_jnp, books, agg, shocks[:1])  # compile with S=1
     jax.block_until_ready(out)
-    fn_full = fn(r_jnp, book, agg, shocks)  # compile with S=100
+    fn_full = fn(r_jnp, books, agg, shocks)  # compile with S=100
     jax.block_until_ready(fn_full)
     t0 = time.perf_counter()
-    out = fn(r_jnp, book, agg, shocks)
+    out = fn(r_jnp, books, agg, shocks)
     jax.block_until_ready(out)
     book_s = time.perf_counter() - t0
-    trades_per_sec = book.num_trades * n_scen / book_s
+    trades_per_sec = n_total * n_scen / book_s
     log(f"100k-trade book x {n_scen} scenarios "
         f"(PV + delta ladder + 32x32 gamma each): {book_s * 1e3:.0f} ms "
         f"-> {trades_per_sec:,.0f} trade-scenarios/sec")

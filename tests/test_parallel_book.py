@@ -147,3 +147,40 @@ class TestMeshSharding:
                  jnp.zeros((1, len(RATES))))
         g = np.array(out["gamma"][0])
         np.testing.assert_allclose(g, g.T, rtol=1e-10, atol=1e-12)
+
+
+class TestBucketedBooks:
+    """Pad-size bucketed compilation must price identically to the
+    monolithic book (same unique grid, same kernels), and the merged
+    aggregate must reproduce the total PV / delta / gamma."""
+
+    def test_bucketed_pvs_match_monolithic(self, model, swaps, book):
+        from adrates_tpu.parallel import (book_pvs, compile_book_buckets,
+                                          make_bucketed_book_fn,
+                                          merge_aggregates)
+        curve = model.curves.GBP_OIS_SONIA
+        books, order = compile_book_buckets(swaps, VALUE_DT, n_buckets=3)
+        assert sum(b.num_trades for b in books) == len(swaps)
+        pads = [b.fix_idx.shape[1] for b in books]
+        assert pads == sorted(pads)
+
+        agg = merge_aggregates([aggregate_book(b) for b in books])
+        fn = make_bucketed_book_fn(curve._plan, curve._interp_type)
+        rates = jnp.asarray(curve.swap_rates)
+        shocks = jnp.zeros((2, rates.shape[0])).at[1].set(1e-4)
+        out = fn(rates, books, agg, shocks)
+
+        mono = np.asarray(book_pvs(rates, curve._plan, curve._interp_type,
+                                   book))
+        bucketed = np.asarray(out["pvs"][0])
+        assert np.allclose(bucketed, mono[np.asarray(order)],
+                           rtol=0, atol=1e-6)
+
+        # merged aggregate total == sum of per-trade PVs
+        total = float(np.sum(mono))
+        from adrates_tpu.parallel import aggregate_total_pv
+        agg_total = float(aggregate_total_pv(rates, curve._plan,
+                                             curve._interp_type, agg))
+        assert agg_total == pytest.approx(total, abs=1e-6)
+        assert np.all(np.isfinite(np.asarray(out["delta"])))
+        assert np.all(np.isfinite(np.asarray(out["gamma"])))
