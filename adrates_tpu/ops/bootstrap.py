@@ -188,13 +188,43 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     denom = 1.0 + point_rates * accs            # [P], exact
     has_prev = prev_idx >= 0
     gather_idx = prev_idx.clip(0)
+    depth = max(plan.depth, 1)
 
-    def sweep(pv01, _):
-        prev_pv01 = jnp.where(has_prev, pv01[gather_idx], 0.0)
-        return (prev_pv01 + accs) / denom, None
+    # pv01 solves the LINEAR triangular fixed point
+    #     pv01 = A pv01 + b,  A x = gather(x)/denom,  b = accs/denom,
+    # exact after K = depth whole-vector sweeps. Differentiate via the
+    # implicit function theorem (lax.custom_root) instead of unrolling AD
+    # through the K sweeps: tangents/cotangents satisfy the SAME
+    # triangular system, so the derivative is ONE K-sweep linear solve
+    # per direction with no stored iteration residuals — jacfwd∘jacrev
+    # gamma towers stay O(depth) (SURVEY §7.3's IFT adjoint).
+    def A(x):
+        return jnp.where(has_prev, x[gather_idx], 0.0) / denom
 
-    pv01 = jnp.zeros_like(point_rates)
-    pv01, _ = lax.scan(sweep, pv01, None, length=max(plan.depth, 1))
+    b = accs / denom
+
+    def f(x):
+        return x - (A(x) + b)
+
+    def solve(_, x0):
+        def sweep(x, _):
+            return A(x) + b, None
+        x, _ = lax.scan(sweep, jnp.zeros_like(x0), None, length=depth)
+        return x
+
+    def tangent_solve(g, y):
+        # g is the linearization of f at the root: g(x) = x - A x.
+        # Solve g(x) = y by the same sweeps: x <- y + A x = y + x - g(x).
+        # Unrolled Python loop (depth is static): lax.scan closing over y
+        # breaks the automatic transposition custom_root needs for
+        # reverse mode.
+        x = jnp.zeros_like(y)
+        for _ in range(depth):
+            x = y + x - g(x)
+        return x
+
+    pv01 = lax.custom_root(f, jnp.zeros_like(point_rates), solve,
+                           tangent_solve)
 
     prev_pv01 = jnp.where(has_prev, pv01[gather_idx], 0.0)
     dfs = (1.0 - point_rates * prev_pv01) / denom
