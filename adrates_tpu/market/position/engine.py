@@ -92,6 +92,62 @@ class Engine:
         leaves, treedef = jax.tree_util.tree_flatten(tensor)
         return (str(treedef),) + tuple(leaf.shape for leaf in leaves)
 
+    @staticmethod
+    def _cached_jit(cache: Dict, key, build):
+        """Content-keyed jit cache: ``build()`` constructs the analytics
+        function exactly once per key; every later request with the same
+        static configuration reuses the compiled executable. This is the
+        reference's `_curve_cache` intent
+        (/root/reference/cavour/market/position/engine.py:2362-2412) done
+        on function identity instead of mutable curve state — and unlike
+        the reference's, the key carries the full static configuration, so
+        same-shape different-content requests can never collide."""
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(build())
+            cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _two_curve_analytics(pv_fn, want):
+        """Packed analytics for PV(x0, x1, consts): PV, both delta
+        ladders, both gamma matrices and the x0-x1 cross-gamma, computed
+        in one jitted call and concatenated into one flat vector."""
+        def analytics(x0, x1, C):
+            parts = []
+            if want[0]:
+                parts.append(jnp.reshape(pv_fn(x0, x1, C), (1,)))
+            if want[1]:
+                parts.append(jax.jacrev(pv_fn, argnums=0)(x0, x1, C))
+                parts.append(jax.jacrev(pv_fn, argnums=1)(x0, x1, C))
+            if want[2]:
+                parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
+                                        argnums=0)(x0, x1, C).ravel())
+                parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
+                                        argnums=1)(x0, x1, C).ravel())
+                parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
+                                        argnums=1)(x0, x1, C).ravel())
+            return jnp.concatenate(parts)
+        return analytics
+
+    @staticmethod
+    def _unpack(packed, sizes):
+        """Split one flat device vector into named blocks.
+
+        Engines pack every requested output (PV, ladders, matrices) into a
+        SINGLE flat f64 vector on device: each separately-returned array
+        is a separate device->host roundtrip (~30 ms through the axon
+        tunnel), so a VALUE+DELTA+GAMMA request must cost one transfer,
+        not six."""
+        packed = np.asarray(packed, dtype=np.float64)
+        out = {}
+        pos = 0
+        for name, shape in sizes:
+            n = int(np.prod(shape))
+            out[name] = packed[pos:pos + n].reshape(shape)
+            pos += n
+        return out
+
     def _swap_analytics(self, curve, fixed_tensor, float_tensor,
                         reqs: Set[RequestTypes]):
         """Compute PV / delta-ladder / gamma-matrix arrays for a
@@ -254,51 +310,126 @@ class Engine:
             value_dt, index_dc=ois_curve._dc_type,
             discount_dc=DayCountTypes.ACT_365F)
 
+        from ...ops.xccy_bootstrap import bootstrap_xccy
+        from .engine_xccy import basis_curve_type
+
         plan = ois_curve._plan
         it = ois_curve._interp_type
-        xccy_times = jnp.asarray(xccy_curve._times)
-        xccy_dfs = jnp.asarray(xccy_curve._dfs)
         xccy_it = xccy_curve._interp_type
         want = (RequestTypes.VALUE in reqs, RequestTypes.DELTA in reqs,
                 RequestTypes.GAMMA in reqs)
-        key = ("ois_xccy_coll", id(xccy_curve),
+
+        # The trade's natural OIS curve is usually the XCCY curve's
+        # FOREIGN curve (a GBP swap under USD collateral discounts on the
+        # GBP-in-USD-collateral curve, whose foreign leg is GBP OIS): the
+        # basis bootstrap then consumes the SAME grid the forwards project
+        # off, so rate deltas carry the recalibration chain and AD agrees
+        # with central FD of a scenario() that rebuilds dependent XCCY
+        # curves. When the curves are unrelated the stored foreign grid
+        # rides as a constant.
+        chain_foreign = xccy_curve._foreign_curve is ois_curve
+        f_it = it if chain_foreign \
+            else xccy_curve._foreign_curve._interp_type
+        n_r = len(ois_curve.swap_rates)
+        n_s = len(xccy_curve.basis_spreads)
+
+        key = ("ois_xccy_coll", xccy_it, it, f_it, chain_foreign,
                self._tensor_signature(fixed_tensor),
-               self._tensor_signature(float_tensor), want)
-        cache = self._curve_jit_cache(ois_curve)
-        fn = cache.get(key)
-        if fn is None:
-            # plan + XCCY grid as jit ARGUMENTS (f64 closure constants run
-            # at f32 in fused TPU ops, docs/tpu_f64_notes.md)
-            def analytics(rates, p, xts, xdfs, ft, lt, fx):
-                def pv_fn(r):
-                    times, dfs = bootstrap_ois(r, p)
-                    pv = pv_fixed_leg(xdfs, xts, xccy_it, ft)
-                    pv = pv + pv_float_leg(xdfs, xts, xccy_it,
-                                           lt, idx_dfs=dfs, idx_times=times,
-                                           idx_interp_type=it)
-                    return pv / fx
-                out = {}
+               self._tensor_signature(float_tensor), n_r, n_s, want)
+        cache = self._curve_jit_cache(xccy_curve)
+
+        def build():
+            def pv_fn(rates, spreads, C):
+                times, dfs = bootstrap_ois(rates, C["plan"])
+                if chain_foreign:
+                    f_times, f_dfs = times, dfs
+                else:
+                    f_times, f_dfs = C["for_times"], C["for_dfs"]
+                _, xdfs = bootstrap_xccy(
+                    spreads, C["pv_dom"], f_times, f_dfs, C["xccy_fx"],
+                    C["xccy_plan"], foreign_interp_type=f_it)
+                xts = C["xccy_times"]
+                pv = pv_fixed_leg(xdfs, xts, xccy_it, C["ft"])
+                pv = pv + pv_float_leg(xdfs, xts, xccy_it, C["lt"],
+                                       idx_dfs=dfs, idx_times=times,
+                                       idx_interp_type=it)
+                return (pv / C["fx"])[()]
+
+            def analytics(rates, spreads, C):
+                parts = []
                 if want[0]:
-                    out["pv"] = pv_fn(rates)
+                    parts.append(jnp.reshape(pv_fn(rates, spreads, C), (1,)))
                 if want[1]:
-                    out["delta"] = jax.jacrev(pv_fn)(rates)
+                    parts.append(jax.jacrev(pv_fn, argnums=0)(
+                        rates, spreads, C))
+                    parts.append(jax.jacrev(pv_fn, argnums=1)(
+                        rates, spreads, C))
                 if want[2]:
-                    out["gamma"] = jax.jacfwd(jax.jacrev(pv_fn))(rates)
-                return out
-            fn = jax.jit(analytics)
-            cache[key] = fn
-        plan_dev = cache.get("_plan_dev")
-        if plan_dev is None:
-            plan_dev = jax.device_put(plan)
-            cache["_plan_dev"] = plan_dev
-        raw = fn(jnp.asarray(ois_curve.swap_rates), plan_dev, xccy_times,
-                 xccy_dfs, fixed_tensor, float_tensor, jnp.asarray(spot_fx))
-        out = self._package_outputs(raw, reqs, collateral_ccy,
-                                    derivative._floating_index,
-                                    ois_curve.swap_times)
-        return AnalyticsResult(value=out.get("value"),
-                               risk=out.get("delta"),
-                               gamma=out.get("gamma"))
+                    parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
+                                            argnums=0)(
+                        rates, spreads, C).ravel())
+                    parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
+                                            argnums=1)(
+                        rates, spreads, C).ravel())
+                    parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
+                                            argnums=1)(
+                        rates, spreads, C).ravel())
+                return jnp.concatenate(parts)
+            return analytics
+
+        fn = self._cached_jit(cache, key, build)
+        consts = cache.get("_consts_ois_coll")
+        if consts is None:
+            consts = jax.device_put(dict(
+                plan=plan, xccy_plan=xccy_curve._plan,
+                xccy_times=jnp.asarray(xccy_curve._times),
+                pv_dom=jnp.asarray(xccy_curve._pv_domestic),
+                for_times=jnp.asarray(xccy_curve._foreign_curve._times),
+                for_dfs=jnp.asarray(xccy_curve._foreign_curve._dfs),
+                xccy_fx=jnp.asarray(xccy_curve._spot_fx)))
+            cache["_consts_ois_coll"] = consts
+        consts = dict(consts, ft=fixed_tensor, lt=float_tensor,
+                      fx=jnp.asarray(spot_fx))
+
+        packed = fn(jnp.asarray(ois_curve.swap_rates),
+                    jnp.asarray(xccy_curve.basis_spreads), consts)
+        sizes = []
+        if want[0]:
+            sizes.append(("pv", (1,)))
+        if want[1]:
+            sizes += [("d_ois", (n_r,)), ("d_basis", (n_s,))]
+        if want[2]:
+            sizes += [("g_ois", (n_r, n_r)), ("g_basis", (n_s, n_s)),
+                      ("cross", (n_r, n_s))]
+        raw = self._unpack(packed, sizes)
+
+        basis_ct = basis_curve_type(derivative._currency, collateral_ccy)
+        ois_tenors = to_tenor(list(ois_curve.swap_times))
+        basis_tenors = to_tenor(list(xccy_curve.swap_times))
+
+        value = risk = gamma = None
+        if want[0]:
+            value = Valuation(float(raw["pv"][0]), collateral_ccy)
+        if want[1]:
+            risk = Risk([
+                Delta(raw["d_ois"] * 1e-4, ois_tenors, collateral_ccy,
+                      derivative._floating_index),
+                Delta(raw["d_basis"] * 1e-4, basis_tenors, collateral_ccy,
+                      basis_ct)])
+        if want[2]:
+            cross = CrossGamma(
+                risk_matrix=raw["cross"] * 1e-8,
+                tenors_curve1=ois_tenors, tenors_curve2=basis_tenors,
+                currency=collateral_ccy,
+                curve_type_1=derivative._floating_index,
+                curve_type_2=basis_ct)
+            gamma = Risk([
+                Gamma(raw["g_ois"] * 1e-8, ois_tenors, collateral_ccy,
+                      derivative._floating_index),
+                Gamma(raw["g_basis"] * 1e-8, basis_tenors, collateral_ccy,
+                      basis_ct)],
+                cross_gammas=[cross])
+        return AnalyticsResult(value=value, risk=risk, gamma=gamma)
 
     # ------------------------------------------------------------------
     # cashflow extraction

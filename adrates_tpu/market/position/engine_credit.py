@@ -29,6 +29,10 @@ _DEFAULT_OIS = {
     CurrencyTypes.GBP: "GBP_OIS_SONIA",
     CurrencyTypes.USD: "USD_OIS_SOFR",
     CurrencyTypes.EUR: "EUR_OIS_ESTR",
+    CurrencyTypes.JPY: "JPY_OIS_TONAR",
+    CurrencyTypes.CHF: "CHF_OIS_SARON",
+    CurrencyTypes.AUD: "AUD_OIS_AONIA",
+    CurrencyTypes.CAD: "CAD_OIS_CORRA",
 }
 
 
@@ -172,52 +176,74 @@ def compute_frn(engine, derivative, reqs) -> AnalyticsResult:
         gamma = out.get("gamma")
     else:
         # Dual-curve FRN: ladders against BOTH curves from one jacrev over
-        # the concatenated quote vector (reference raises here,
-        # engine.py:925-928 — implemented as an upgrade).
-        disc_plan = disc_curve._plan
-        idx_plan = idx_curve._plan
+        # the two quote vectors (reference raises here, engine.py:925-928
+        # — implemented as an upgrade). Cached + packed: one compile per
+        # (shapes, schemes, requests), one device transfer per compute.
         disc_it = disc_curve._interp_type
         idx_it = idx_curve._interp_type
         n_disc = len(disc_curve.swap_rates)
+        n_idx = len(idx_curve.swap_rates)
+        want = (RequestTypes.VALUE in reqs, RequestTypes.DELTA in reqs,
+                RequestTypes.GAMMA in reqs)
 
         # plans/tensor as jit args (f64 closure constants run at f32 in
         # fused TPU ops, docs/tpu_f64_notes.md)
-        consts = dict(disc_plan=disc_plan, idx_plan=idx_plan, tensor=tensor)
+        consts = dict(disc_plan=disc_curve._plan,
+                      idx_plan=idx_curve._plan, tensor=tensor)
 
-        def pv_fn(all_rates, C):
-            d_rates = all_rates[:n_disc]
-            i_rates = all_rates[n_disc:]
-            d_times, d_dfs = bootstrap_ois(d_rates, C["disc_plan"])
-            i_times, i_dfs = bootstrap_ois(i_rates, C["idx_plan"])
-            return pv_float_leg(d_dfs, d_times, disc_it, C["tensor"],
-                                idx_dfs=i_dfs, idx_times=i_times,
-                                idx_interp_type=idx_it)
+        def make_pv():
+            def pv_fn(d_rates, i_rates, C):
+                d_times, d_dfs = bootstrap_ois(d_rates, C["disc_plan"])
+                i_times, i_dfs = bootstrap_ois(i_rates, C["idx_plan"])
+                return pv_float_leg(d_dfs, d_times, disc_it, C["tensor"],
+                                    idx_dfs=i_dfs, idx_times=i_times,
+                                    idx_interp_type=idx_it)
+            return pv_fn
 
-        all_rates = jnp.concatenate([jnp.asarray(disc_curve.swap_rates),
-                                     jnp.asarray(idx_curve.swap_rates)])
+        from .engine import Engine
+        cache = Engine._curve_jit_cache(disc_curve)
+        key = ("frn_dual", disc_it, idx_it,
+               Engine._tensor_signature(tensor), n_disc, n_idx, want)
+        fn = Engine._cached_jit(
+            cache, key,
+            lambda: Engine._two_curve_analytics(make_pv(), want))
+        packed = fn(jnp.asarray(disc_curve.swap_rates),
+                    jnp.asarray(idx_curve.swap_rates), consts)
+        sizes = []
+        if want[0]:
+            sizes.append(("pv", (1,)))
+        if want[1]:
+            sizes += [("d0", (n_disc,)), ("d1", (n_idx,))]
+        if want[2]:
+            sizes += [("g0", (n_disc, n_disc)), ("g1", (n_idx, n_idx)),
+                      ("cross", (n_disc, n_idx))]
+        raw = Engine._unpack(packed, sizes)
+
+        disc_tenors = to_tenor(list(disc_curve.swap_times))
+        idx_tenors = to_tenor(list(idx_curve.swap_times))
         value = risk = gamma = None
-        if RequestTypes.VALUE in reqs:
-            value = Valuation(float(jax.jit(pv_fn)(all_rates, consts)),
-                              derivative._currency)
-        if RequestTypes.DELTA in reqs:
-            lad = np.asarray(jax.jit(jax.jacrev(pv_fn))(
-                all_rates, consts)) * 1e-4
+        if want[0]:
+            value = Valuation(float(raw["pv"][0]), derivative._currency)
+        if want[1]:
             risk = Risk([
-                Delta(lad[:n_disc], to_tenor(list(disc_curve.swap_times)),
+                Delta(raw["d0"] * 1e-4, disc_tenors,
                       derivative._currency, CurveTypes[disc_name]),
-                Delta(lad[n_disc:], to_tenor(list(idx_curve.swap_times)),
+                Delta(raw["d1"] * 1e-4, idx_tenors,
                       derivative._currency, CurveTypes[idx_name])])
-        if RequestTypes.GAMMA in reqs:
-            g = np.asarray(
-                jax.jit(jax.jacfwd(jax.jacrev(pv_fn)))(
-                    all_rates, consts)) * 1e-8
+        if want[2]:
+            from ...requests.results import CrossGamma
+            cross = CrossGamma(
+                risk_matrix=raw["cross"] * 1e-8,
+                tenors_curve1=disc_tenors, tenors_curve2=idx_tenors,
+                currency=derivative._currency,
+                curve_type_1=CurveTypes[disc_name],
+                curve_type_2=CurveTypes[idx_name])
             gamma = Risk([
-                Gamma(g[:n_disc, :n_disc],
-                      to_tenor(list(disc_curve.swap_times)),
+                Gamma(raw["g0"] * 1e-8, disc_tenors,
                       derivative._currency, CurveTypes[disc_name]),
-                Gamma(g[n_disc:, n_disc:],
-                      to_tenor(list(idx_curve.swap_times)),
-                      derivative._currency, CurveTypes[idx_name])])
+                Gamma(raw["g1"] * 1e-8, idx_tenors,
+                      derivative._currency, CurveTypes[idx_name])],
+                cross_gammas=[cross])
 
     cashflows = None
     if RequestTypes.CASHFLOWS in reqs:

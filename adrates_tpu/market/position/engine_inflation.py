@@ -38,6 +38,10 @@ _DEFAULT_OIS = {
     CurrencyTypes.GBP: "GBP_OIS_SONIA",
     CurrencyTypes.USD: "USD_OIS_SOFR",
     CurrencyTypes.EUR: "EUR_OIS_ESTR",
+    CurrencyTypes.JPY: "JPY_OIS_TONAR",
+    CurrencyTypes.CHF: "CHF_OIS_SARON",
+    CurrencyTypes.AUD: "AUD_OIS_AONIA",
+    CurrencyTypes.CAD: "CAD_OIS_CORRA",
 }
 
 _DEFAULT_INFL_CT = {
@@ -101,37 +105,54 @@ def _factor_fn(infl_curve):
     return factor_at
 
 
-def _risk_package(pv_fn, ois_rates, breakevens, consts, reqs, ccy, ois_ct,
-                  infl_ct, ois_tenors, infl_tenors):
+def _risk_package(engine, infl_curve, key, make_pv, ois_rates, breakevens,
+                  consts, reqs, ccy, ois_ct, infl_ct, ois_tenors,
+                  infl_tenors):
+    """Packed, content-key-cached inflation analytics: ONE jitted call
+    (cached on the inflation curve) returns PV + both delta ladders + both
+    gamma matrices + the discount x breakeven cross-gamma as a single flat
+    vector — zero recompiles for a new same-shape trade, one device->host
+    transfer per request (the round-1 version rebuilt lambdas and called
+    jax.jit inline per compute(), missing the jit cache every time)."""
+    from .engine import Engine
+
+    want = (RequestTypes.VALUE in reqs, RequestTypes.DELTA in reqs,
+            RequestTypes.GAMMA in reqs)
+    if not any(want):
+        return None, None, None
+    n0 = int(ois_rates.shape[0])
+    n1 = int(breakevens.shape[0])
+    cache = Engine._curve_jit_cache(infl_curve)
+    full_key = key + (Engine._tensor_signature(consts), n0, n1, want)
+    fn = Engine._cached_jit(
+        cache, full_key,
+        lambda: Engine._two_curve_analytics(make_pv(), want))
+    packed = fn(ois_rates, breakevens, consts)
+
+    sizes = []
+    if want[0]:
+        sizes.append(("pv", (1,)))
+    if want[1]:
+        sizes += [("d0", (n0,)), ("d1", (n1,))]
+    if want[2]:
+        sizes += [("g0", (n0, n0)), ("g1", (n1, n1)), ("cross", (n0, n1))]
+    raw = Engine._unpack(packed, sizes)
+
     value = delta = gamma = None
-    if RequestTypes.VALUE in reqs:
-        value = Valuation(float(jax.jit(pv_fn)(ois_rates, breakevens,
-                                               consts)), ccy)
-    if RequestTypes.DELTA in reqs:
-        d_ois = jax.jit(jax.jacrev(pv_fn, argnums=0))(ois_rates, breakevens,
-                                                      consts)
-        d_be = jax.jit(jax.jacrev(pv_fn, argnums=1))(ois_rates, breakevens,
-                                                     consts)
+    if want[0]:
+        value = Valuation(float(raw["pv"][0]), ccy)
+    if want[1]:
         delta = Risk([
-            Delta(np.asarray(d_ois) * 1e-4, ois_tenors, ccy, ois_ct),
-            Delta(np.asarray(d_be) * 1e-4, infl_tenors, ccy, infl_ct)])
-    if RequestTypes.GAMMA in reqs:
-        g_ois = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
-                                   argnums=0))(ois_rates, breakevens,
-                                               consts)
-        g_be = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
-                                  argnums=1))(ois_rates, breakevens,
-                                              consts)
-        cross = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
-                                   argnums=1))(ois_rates, breakevens,
-                                               consts)
+            Delta(raw["d0"] * 1e-4, ois_tenors, ccy, ois_ct),
+            Delta(raw["d1"] * 1e-4, infl_tenors, ccy, infl_ct)])
+    if want[2]:
         cross_gamma = CrossGamma(
-            risk_matrix=np.asarray(cross) * 1e-8,
+            risk_matrix=raw["cross"] * 1e-8,
             tenors_curve1=ois_tenors, tenors_curve2=infl_tenors,
             currency=ccy, curve_type_1=ois_ct, curve_type_2=infl_ct)
         gamma = Risk([
-            Gamma(np.asarray(g_ois) * 1e-8, ois_tenors, ccy, ois_ct),
-            Gamma(np.asarray(g_be) * 1e-8, infl_tenors, ccy, infl_ct)],
+            Gamma(raw["g0"] * 1e-8, ois_tenors, ccy, ois_ct),
+            Gamma(raw["g1"] * 1e-8, infl_tenors, ccy, infl_ct)],
             cross_gammas=[cross_gamma])
     return value, delta, gamma
 
@@ -182,44 +203,48 @@ def compute_yoy_iis(engine, derivative, reqs: Set[RequestTypes]
         if leg._payment_dts[i] > value_dt])
 
     factor_at = _factor_fn(infl_curve)
-    base_cpi = infl_curve._base_cpi
-    leg_sign = 1.0 if leg._leg_type == SwapTypes.RECEIVE else -1.0
-    spread = leg._spread
-    notional = leg._notional
     plan = ois_curve._plan
     it = ois_curve._interp_type
 
-    # every f64 array rides in the consts pytree (jit argument, never a
-    # closure constant — docs/tpu_f64_notes.md)
+    # every f64 value (arrays AND scalars) rides in the consts pytree as a
+    # jit argument, never a closure constant — docs/tpu_f64_notes.md
     consts = dict(plan=plan, fixed_tensor=fixed_tensor, pay_t=pay_t,
                   s_t=s_t, e_t=e_t, s_val=s_val, e_val=e_val,
                   seas_s=seas_s, seas_e=seas_e, alphas=alphas,
                   s_fixed=s_fixed, e_fixed=e_fixed,
+                  base_cpi=np.float64(infl_curve._base_cpi),
+                  leg_sign=np.float64(
+                      1.0 if leg._leg_type == SwapTypes.RECEIVE else -1.0),
+                  spread=np.float64(leg._spread),
+                  notional=np.float64(leg._notional),
                   infl_times=np.asarray(infl_curve.swap_times,
                                         dtype=np.float64))
 
-    def pv_fn(ois_rates, breakevens, C):
-        times, dfs = bootstrap_ois(ois_rates, C["plan"])
-        aux = interp_fit(times, dfs, it)
-        q = jnp.concatenate([C["pay_t"], jnp.zeros(1)])
-        out = interp_df(q, times, dfs, it, aux)
-        df_pay = out[:-1] / out[-1]
+    def make_pv():
+        def pv_fn(ois_rates, breakevens, C):
+            times, dfs = bootstrap_ois(ois_rates, C["plan"])
+            aux = interp_fit(times, dfs, it)
+            q = jnp.concatenate([C["pay_t"], jnp.zeros(1)])
+            out = interp_df(q, times, dfs, it, aux)
+            df_pay = out[:-1] / out[-1]
 
-        f_s = factor_at(breakevens, C["s_t"], C["infl_times"])
-        f_e = factor_at(breakevens, C["e_t"], C["infl_times"])
-        cpi_s = jnp.where(C["s_fixed"], C["s_val"],
-                          C["seas_s"] * base_cpi * f_s)
-        cpi_e = jnp.where(C["e_fixed"], C["e_val"],
-                          C["seas_e"] * base_cpi * f_e)
-        yoy = cpi_e / cpi_s - 1.0
-        payments = notional * C["alphas"] * (yoy + spread)
-        infl_pv = leg_sign * jnp.sum(payments * df_pay)
+            f_s = factor_at(breakevens, C["s_t"], C["infl_times"])
+            f_e = factor_at(breakevens, C["e_t"], C["infl_times"])
+            cpi_s = jnp.where(C["s_fixed"], C["s_val"],
+                              C["seas_s"] * C["base_cpi"] * f_s)
+            cpi_e = jnp.where(C["e_fixed"], C["e_val"],
+                              C["seas_e"] * C["base_cpi"] * f_e)
+            yoy = cpi_e / cpi_s - 1.0
+            payments = C["notional"] * C["alphas"] * (yoy + C["spread"])
+            infl_pv = C["leg_sign"] * jnp.sum(payments * df_pay)
 
-        fixed_pv = pv_fixed_leg(dfs, times, it, C["fixed_tensor"])
-        return fixed_pv + infl_pv
+            fixed_pv = pv_fixed_leg(dfs, times, it, C["fixed_tensor"])
+            return fixed_pv + infl_pv
+        return pv_fn
 
     value, delta, gamma = _risk_package(
-        pv_fn, jnp.asarray(ois_curve.swap_rates),
+        engine, infl_curve, ("yoy", it, infl_curve._interp_type), make_pv,
+        jnp.asarray(ois_curve.swap_rates),
         jnp.asarray(infl_curve.breakeven_rates), consts, reqs, ccy, ois_ct,
         infl_ct, to_tenor(list(ois_curve.swap_times)),
         list(infl_curve.tenors))
@@ -279,36 +304,44 @@ def compute_zcis(engine, derivative, reqs: Set[RequestTypes]
     live = derivative._payment_dt > value_dt
 
     factor_at = _factor_fn(infl_curve)
-    base_cpi = infl_curve._base_cpi
     plan = ois_curve._plan
     it = ois_curve._interp_type
-    notional = derivative._notional
 
     # f64 scalars/arrays as jit args (docs/tpu_f64_notes.md)
     consts = dict(plan=plan,
                   q=np.array([pay_t, 0.0], dtype=np.float64),
                   tq=np.array([b_t, f_t], dtype=np.float64),
                   b_val=np.float64(b_val), f_val=np.float64(f_val),
+                  seas_b=np.float64(seas_b), seas_f=np.float64(seas_f),
+                  base_cpi=np.float64(infl_curve._base_cpi),
+                  notional=np.float64(derivative._notional),
+                  fixed_amt=np.float64(fixed_sign * fixed_payment),
+                  infl_sign=np.float64(infl_sign),
                   infl_times=np.asarray(infl_curve.swap_times,
                                         dtype=np.float64))
 
-    def pv_fn(ois_rates, breakevens, C):
-        times, dfs = bootstrap_ois(ois_rates, C["plan"])
-        aux = interp_fit(times, dfs, it)
-        out = interp_df(C["q"], times, dfs, it, aux)
-        df_pay = jnp.where(live, out[0] / out[1], 0.0)
+    def make_pv():
+        def pv_fn(ois_rates, breakevens, C):
+            times, dfs = bootstrap_ois(ois_rates, C["plan"])
+            aux = interp_fit(times, dfs, it)
+            out = interp_df(C["q"], times, dfs, it, aux)
+            df_pay = jnp.where(live, out[0] / out[1], 0.0)
 
-        f_curve = factor_at(breakevens, C["tq"], C["infl_times"])
-        cpi_b = jnp.where(b_fixed, C["b_val"],
-                          seas_b * base_cpi * f_curve[0])
-        cpi_f = jnp.where(f_fixed, C["f_val"],
-                          seas_f * base_cpi * f_curve[1])
-        infl_payment = notional * (cpi_f / cpi_b - 1.0)
-        return (fixed_sign * fixed_payment
-                + infl_sign * infl_payment) * df_pay
+            f_curve = factor_at(breakevens, C["tq"], C["infl_times"])
+            cpi_b = jnp.where(b_fixed, C["b_val"],
+                              C["seas_b"] * C["base_cpi"] * f_curve[0])
+            cpi_f = jnp.where(f_fixed, C["f_val"],
+                              C["seas_f"] * C["base_cpi"] * f_curve[1])
+            infl_payment = C["notional"] * (cpi_f / cpi_b - 1.0)
+            return (C["fixed_amt"]
+                    + C["infl_sign"] * infl_payment) * df_pay
+        return pv_fn
 
     value, delta, gamma = _risk_package(
-        pv_fn, jnp.asarray(ois_curve.swap_rates),
+        engine, infl_curve,
+        ("zcis", it, infl_curve._interp_type, bool(b_fixed), bool(f_fixed),
+         bool(live)), make_pv,
+        jnp.asarray(ois_curve.swap_rates),
         jnp.asarray(infl_curve.breakeven_rates), consts, reqs, ccy, ois_ct,
         infl_ct, to_tenor(list(ois_curve.swap_times)),
         list(infl_curve.tenors))

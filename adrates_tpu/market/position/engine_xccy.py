@@ -13,13 +13,15 @@ Role parity with /root/reference/cavour/market/position/engine.py
    (engine.py:1936-1945); including all terms is an upgrade, not a port.
 
 Everything is one pure function PV(dom_rates, for_rates, spreads) composed
-from the OIS bootstrap, the XCCY bootstrap and the leg kernels; each block
-of the report is a jax partial/hessian of it.
+from the OIS bootstrap, the XCCY bootstrap and the leg kernels. All
+requested outputs are computed inside ONE jitted, content-key-cached
+analytics function (cached on the XCCY curve, keyed on static config +
+tensor shapes) and returned as a SINGLE packed vector: re-pricing a new
+same-shape trade does zero compiles and one device->host transfer.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Set
 
 import jax
@@ -27,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.bootstrap import bootstrap_ois
-from ...ops.interpolation import interp_df, interp_fit
 from ...ops.pricers import FixedLegTensor, FloatLegTensor, pv_fixed_leg, \
     pv_float_leg
 from ...ops.xccy_bootstrap import bootstrap_xccy
@@ -36,16 +37,14 @@ from ...requests.results import (AnalyticsResult, Cashflows, CrossGamma,
 from ...utils.date import Date
 from ...utils.day_count import DayCount, DayCountTypes
 from ...utils.error import LibError
-from ...utils.global_types import CurveTypes, InstrumentTypes, \
-    RequestTypes, SwapTypes
-from ...utils.global_vars import gDaysInYear
+from ...utils.global_types import CurveTypes, RequestTypes, SwapTypes
 from ...utils.helpers import times_from_dates, to_tenor
 from ...trades.rates.swap_fixed_leg import SwapFixedLeg
 from ...trades.rates.swap_float_leg import SwapFloatLeg
 from ...trades.rates.xccy_curve import XccyCurve
 
 
-def _find_xccy_curve(model, derivative):
+def find_xccy_curve(model, derivative):
     """Locate the XCCY curve calibrated for this currency pair: exact
     index match first, then any single XccyCurve as a fallback."""
     dom_idx = derivative._domestic_floating_index
@@ -65,12 +64,17 @@ def _find_xccy_curve(model, derivative):
         f"{list(model._curves_dict.keys())}")
 
 
-def _basis_curve_type(foreign_ccy, domestic_ccy) -> CurveTypes:
+def basis_curve_type(foreign_ccy, domestic_ccy) -> CurveTypes:
     name = f"{foreign_ccy.name}_{domestic_ccy.name}_BASIS"
     try:
         return CurveTypes[name]
     except KeyError:
         return CurveTypes.USD_GBP_BASIS
+
+
+# backwards-compatible private aliases
+_find_xccy_curve = find_xccy_curve
+_basis_curve_type = basis_curve_type
 
 
 def _float_leg_xccy_tensor(leg: SwapFloatLeg, value_dt: Date,
@@ -116,11 +120,10 @@ def _float_leg_xccy_tensor(leg: SwapFloatLeg, value_dt: Date,
 
 
 def _fixed_exchange_times(derivative, value_dt):
-    return (jnp.asarray(times_from_dates(derivative._effective_dt,
-                                         value_dt,
-                                         DayCountTypes.ACT_ACT_ISDA)),
-            jnp.asarray(times_from_dates(derivative._maturity_dt, value_dt,
-                                         DayCountTypes.ACT_ACT_ISDA)))
+    return (np.float64(times_from_dates(derivative._effective_dt, value_dt,
+                                        DayCountTypes.ACT_ACT_ISDA)),
+            np.float64(times_from_dates(derivative._maturity_dt, value_dt,
+                                        DayCountTypes.ACT_ACT_ISDA)))
 
 
 def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
@@ -130,19 +133,12 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
                         derivative._domestic_floating_index.name)
     for_curve = getattr(model.curves,
                         derivative._foreign_floating_index.name)
-    xccy_name, xccy_curve = _find_xccy_curve(model, derivative)
-    spot_fx = xccy_curve._spot_fx  # domestic per foreign
+    xccy_name, xccy_curve = find_xccy_curve(model, derivative)
     value_dt = dom_curve._value_dt
 
-    dom_plan = dom_curve._plan
-    for_plan = for_curve._plan
     dom_it = dom_curve._interp_type
     for_it = for_curve._interp_type
     xccy_it = xccy_curve._interp_type
-    xccy_plan = xccy_curve._plan
-    xccy_times_grid = jnp.asarray(xccy_curve._times)
-    pv_domestic = jnp.asarray(xccy_curve._pv_domestic)
-    for_grid_times = jnp.asarray(for_curve._times)
 
     # --- compile legs ---------------------------------------------------
     dom_leg = derivative._domestic_leg
@@ -150,174 +146,203 @@ def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
     dom_is_fixed = isinstance(dom_leg, SwapFixedLeg)
     for_is_fixed = isinstance(for_leg, SwapFixedLeg)
 
+    # Every f64 input (tensors, grids, scalars like spot FX / notionals)
+    # rides in the consts pytree as a jit ARGUMENT: f64 closure constants
+    # are embedded in the compiled TPU program and participate in fused
+    # elementwise ops at f32 (docs/tpu_f64_notes.md).
+    consts = dict(spot_fx=np.float64(xccy_curve._spot_fx))
     if dom_is_fixed:
-        dom_tensor = dom_leg.tensor(value_dt)
         eff_t, mat_t = _fixed_exchange_times(derivative, value_dt)
-        dom_sign = 1.0 if derivative._domestic_leg_type == SwapTypes.RECEIVE \
-            else -1.0
-        dom_notional = derivative._domestic_notional
+        consts.update(
+            dom_tensor=dom_leg.tensor(value_dt),
+            eff_t=eff_t, mat_t=mat_t,
+            dom_notional=np.float64(derivative._domestic_notional),
+            dom_sign=np.float64(
+                1.0 if derivative._domestic_leg_type == SwapTypes.RECEIVE
+                else -1.0))
     else:
-        dom_tensor = dom_leg.tensor(value_dt,
-                                    index_dc=dom_curve._dc_type)
+        consts.update(dom_tensor=dom_leg.tensor(
+            value_dt, index_dc=dom_curve._dc_type))
 
     if for_is_fixed:
         # fixed foreign leg discounted on the XCCY grid: times in ACT/365F
         xdc = DayCountTypes.ACT_365F
-        for_tensor = FixedLegTensor(
-            payment_times=np.asarray(
-                times_from_dates(for_leg._payment_dts, value_dt, xdc)),
-            payments=np.array(for_leg._payments, dtype=np.float64),
-            principal=np.float64(for_leg._principal * for_leg._notional),
-            leg_sign=np.float64(
-                1.0 if for_leg._leg_type == SwapTypes.RECEIVE else -1.0),
-            value_time=np.float64(0.0))
-        for_eff_t = jnp.asarray(times_from_dates(derivative._effective_dt,
-                                                 value_dt, xdc))
-        for_mat_t = jnp.asarray(times_from_dates(derivative._maturity_dt,
-                                                 value_dt, xdc))
-        for_sign = float(for_tensor.leg_sign)
-        for_notional = derivative._foreign_notional
+        consts.update(
+            for_tensor=FixedLegTensor(
+                payment_times=np.asarray(
+                    times_from_dates(for_leg._payment_dts, value_dt, xdc)),
+                payments=np.array(for_leg._payments, dtype=np.float64),
+                principal=np.float64(
+                    for_leg._principal * for_leg._notional),
+                leg_sign=np.float64(
+                    1.0 if for_leg._leg_type == SwapTypes.RECEIVE
+                    else -1.0),
+                value_time=np.float64(0.0)),
+            for_eff_t=np.float64(times_from_dates(
+                derivative._effective_dt, value_dt, xdc)),
+            for_mat_t=np.float64(times_from_dates(
+                derivative._maturity_dt, value_dt, xdc)),
+            for_notional=np.float64(derivative._foreign_notional),
+            for_sign=np.float64(
+                1.0 if for_leg._leg_type == SwapTypes.RECEIVE else -1.0))
     else:
-        for_tensor = _float_leg_xccy_tensor(for_leg, value_dt,
-                                            for_curve._dc_type)
+        consts.update(for_tensor=_float_leg_xccy_tensor(
+            for_leg, value_dt, for_curve._dc_type))
 
-    # --- the pure pricing function --------------------------------------
+    want = (RequestTypes.VALUE in reqs, RequestTypes.DELTA in reqs,
+            RequestTypes.GAMMA in reqs)
+    n_d = len(dom_curve.swap_rates)
+    n_f = len(for_curve.swap_rates)
+    n_s = len(xccy_curve.basis_spreads)
 
-    def exchange_pv(dfs, times, it, eff_t, mat_t, notional, sign):
-        q = jnp.stack([eff_t, mat_t])
-        d = interp_df(q, times, dfs, it)
-        amts = jnp.stack([-notional * sign, notional * sign])
-        live = q >= 0.0
-        return jnp.sum(jnp.where(live, amts * d, 0.0))
+    cache = engine._curve_jit_cache(xccy_curve)
+    curve_consts = cache.get("_consts_xccy")
+    if curve_consts is None:
+        curve_consts = jax.device_put(dict(
+            dom_plan=dom_curve._plan, for_plan=for_curve._plan,
+            xccy_plan=xccy_curve._plan,
+            xccy_times_grid=jnp.asarray(xccy_curve._times),
+            xccy_dfs0=jnp.asarray(xccy_curve._dfs),
+            pv_domestic=jnp.asarray(xccy_curve._pv_domestic)))
+        cache["_consts_xccy"] = curve_consts
+    consts.update(curve_consts)
 
-    # All f64-bearing pytrees travel as an explicit argument: closure
-    # constants are embedded in the compiled TPU program and participate
-    # in fused elementwise ops at f32 (docs/tpu_f64_notes.md).
-    consts = dict(dom_plan=dom_plan, for_plan=for_plan,
-                  xccy_plan=xccy_plan, xccy_times_grid=xccy_times_grid,
-                  pv_domestic=pv_domestic, for_grid_times=for_grid_times)
-    if dom_is_fixed:
-        consts.update(dom_tensor=dom_tensor, eff_t=eff_t, mat_t=mat_t)
-    else:
-        consts.update(dom_tensor=dom_tensor)
-    if for_is_fixed:
-        consts.update(for_tensor=for_tensor, for_eff_t=for_eff_t,
-                      for_mat_t=for_mat_t)
-    else:
-        consts.update(for_tensor=for_tensor)
+    key = ("xccy", dom_is_fixed, for_is_fixed, dom_it, for_it, xccy_it,
+           engine._tensor_signature(consts["dom_tensor"]),
+           engine._tensor_signature(consts["for_tensor"]),
+           n_d, n_f, n_s, want)
 
-    def pv_fn(dom_rates, for_rates, xccy_dfs, C):
-        dom_times, dom_dfs = bootstrap_ois(dom_rates, C["dom_plan"])
-        for_times, for_dfs = bootstrap_ois(for_rates, C["for_plan"])
+    def build():
+        def exchange_pv(dfs, times, it, eff_t, mat_t, notional, sign):
+            from ...ops.interpolation import interp_df
+            q = jnp.stack([eff_t, mat_t])
+            d = interp_df(q, times, dfs, it)
+            amts = jnp.stack([-notional * sign, notional * sign])
+            live = q >= 0.0
+            return jnp.sum(jnp.where(live, amts * d, 0.0))
 
-        # domestic leg on the domestic OIS curve
-        if dom_is_fixed:
-            dom_pv = pv_fixed_leg(dom_dfs, dom_times, dom_it,
-                                  C["dom_tensor"])
-            dom_pv = dom_pv + exchange_pv(dom_dfs, dom_times, dom_it,
-                                          C["eff_t"], C["mat_t"],
-                                          dom_notional, dom_sign)
-        else:
-            dom_pv = pv_float_leg(dom_dfs, dom_times, dom_it,
-                                  C["dom_tensor"])
+        def pv_fn(dom_rates, for_rates, xccy_dfs, C):
+            dom_times, dom_dfs = bootstrap_ois(dom_rates, C["dom_plan"])
+            for_times, for_dfs = bootstrap_ois(for_rates, C["for_plan"])
 
-        # foreign leg: projected on foreign OIS, discounted on XCCY
-        if for_is_fixed:
-            for_pv = pv_fixed_leg(xccy_dfs, C["xccy_times_grid"], xccy_it,
-                                  C["for_tensor"])
-            for_pv = for_pv + exchange_pv(xccy_dfs, C["xccy_times_grid"],
-                                          xccy_it, C["for_eff_t"],
-                                          C["for_mat_t"],
-                                          for_notional, for_sign)
-        else:
-            for_pv = pv_float_leg(xccy_dfs, C["xccy_times_grid"], xccy_it,
-                                  C["for_tensor"], idx_dfs=for_dfs,
-                                  idx_times=for_times,
-                                  idx_interp_type=for_it)
+            # domestic leg on the domestic OIS curve
+            if dom_is_fixed:
+                dom_pv = pv_fixed_leg(dom_dfs, dom_times, dom_it,
+                                      C["dom_tensor"])
+                dom_pv = dom_pv + exchange_pv(dom_dfs, dom_times, dom_it,
+                                              C["eff_t"], C["mat_t"],
+                                              C["dom_notional"],
+                                              C["dom_sign"])
+            else:
+                dom_pv = pv_float_leg(dom_dfs, dom_times, dom_it,
+                                      C["dom_tensor"])
 
-        return dom_pv + spot_fx * for_pv
+            # foreign leg: projected on foreign OIS, discounted on XCCY
+            if for_is_fixed:
+                for_pv = pv_fixed_leg(xccy_dfs, C["xccy_times_grid"],
+                                      xccy_it, C["for_tensor"])
+                for_pv = for_pv + exchange_pv(
+                    xccy_dfs, C["xccy_times_grid"], xccy_it,
+                    C["for_eff_t"], C["for_mat_t"], C["for_notional"],
+                    C["for_sign"])
+            else:
+                for_pv = pv_float_leg(xccy_dfs, C["xccy_times_grid"],
+                                      xccy_it, C["for_tensor"],
+                                      idx_dfs=for_dfs, idx_times=for_times,
+                                      idx_interp_type=for_it)
 
-    def xccy_dfs_fn(spreads, for_rates, C):
-        _, for_dfs = bootstrap_ois(for_rates, C["for_plan"])
-        _, dfs = bootstrap_xccy(spreads, C["pv_domestic"],
-                                C["for_grid_times"],
-                                for_dfs, spot_fx, C["xccy_plan"],
-                                foreign_interp_type=for_it)
-        return dfs
+            return dom_pv + C["spot_fx"] * for_pv
 
-    dom_rates0 = jnp.asarray(dom_curve.swap_rates)
-    for_rates0 = jnp.asarray(for_curve.swap_rates)
-    spreads0 = jnp.asarray(xccy_curve.basis_spreads)
-    xccy_dfs0 = jnp.asarray(xccy_curve._dfs)
+        def xccy_dfs_fn(spreads, for_rates, C):
+            for_times, for_dfs = bootstrap_ois(for_rates, C["for_plan"])
+            _, dfs = bootstrap_xccy(spreads, C["pv_domestic"], for_times,
+                                    for_dfs, C["spot_fx"], C["xccy_plan"],
+                                    foreign_interp_type=for_it)
+            return dfs
+
+        def basis_pv(spreads, dom_rates, for_rates, C):
+            return pv_fn(dom_rates, for_rates,
+                         xccy_dfs_fn(spreads, for_rates, C), C)
+
+        def analytics(dom_rates, for_rates, spreads, C):
+            xdfs0 = C["xccy_dfs0"]
+            parts = []
+            if want[0]:
+                parts.append(jnp.reshape(
+                    pv_fn(dom_rates, for_rates, xdfs0, C), (1,)))
+            if want[1]:
+                parts.append(jax.jacrev(pv_fn, argnums=0)(
+                    dom_rates, for_rates, xdfs0, C))
+                parts.append(jax.jacrev(pv_fn, argnums=1)(
+                    dom_rates, for_rates, xdfs0, C))
+                parts.append(jax.jacrev(basis_pv, argnums=0)(
+                    spreads, dom_rates, for_rates, C))
+            if want[2]:
+                parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
+                                        argnums=0)(
+                    dom_rates, for_rates, xdfs0, C).ravel())
+                parts.append(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
+                                        argnums=1)(
+                    dom_rates, for_rates, xdfs0, C).ravel())
+                parts.append(jax.jacfwd(jax.jacrev(basis_pv, argnums=0),
+                                        argnums=0)(
+                    spreads, dom_rates, for_rates, C).ravel())
+                # cross-gamma foreign x basis: FULL mixed second
+                # derivative of f(for, spreads)
+                f_cross = lambda fr, s, C_: pv_fn(
+                    dom_rates, fr, xccy_dfs_fn(s, fr, C_), C_)
+                parts.append(jax.jacfwd(jax.jacrev(f_cross, argnums=0),
+                                        argnums=1)(
+                    for_rates, spreads, C).ravel())
+            return jnp.concatenate(parts)
+
+        return analytics
+
+    fn = engine._cached_jit(cache, key, build)
+    packed = fn(jnp.asarray(dom_curve.swap_rates),
+                jnp.asarray(for_curve.swap_rates),
+                jnp.asarray(xccy_curve.basis_spreads), consts)
+
+    sizes = []
+    if want[0]:
+        sizes.append(("pv", (1,)))
+    if want[1]:
+        sizes += [("d_dom", (n_d,)), ("d_for", (n_f,)),
+                  ("d_basis", (n_s,))]
+    if want[2]:
+        sizes += [("g_dom", (n_d, n_d)), ("g_for", (n_f, n_f)),
+                  ("g_basis", (n_s, n_s)), ("cross", (n_f, n_s))]
+    raw = engine._unpack(packed, sizes)
 
     dom_ccy = derivative._domestic_currency
-    basis_ct = _basis_curve_type(derivative._foreign_currency, dom_ccy)
+    basis_ct = basis_curve_type(derivative._foreign_currency, dom_ccy)
+    dom_tenors = to_tenor(list(dom_curve.swap_times))
+    for_tenors = to_tenor(list(for_curve.swap_times))
+    basis_tenors = to_tenor(list(xccy_curve.swap_times))
 
-    value = None
-    if RequestTypes.VALUE in reqs:
-        value = Valuation(float(jax.jit(pv_fn)(dom_rates0, for_rates0,
-                                               xccy_dfs0, consts)),
-                          dom_ccy)
-
-    delta = None
-    if RequestTypes.DELTA in reqs:
-        d_dom = jax.jit(jax.jacrev(pv_fn, argnums=0))(
-            dom_rates0, for_rates0, xccy_dfs0, consts)
-        d_for = jax.jit(jax.jacrev(pv_fn, argnums=1))(
-            dom_rates0, for_rates0, xccy_dfs0, consts)
-        basis_pv = lambda s, C: pv_fn(dom_rates0, for_rates0,
-                                      xccy_dfs_fn(s, for_rates0, C), C)
-        d_basis = jax.jit(jax.jacrev(basis_pv))(spreads0, consts)
+    value = delta = gamma = None
+    if want[0]:
+        value = Valuation(float(raw["pv"][0]), dom_ccy)
+    if want[1]:
         delta = Risk([
-            Delta(np.asarray(d_dom) * 1e-4,
-                  to_tenor(list(dom_curve.swap_times)), dom_ccy,
+            Delta(raw["d_dom"] * 1e-4, dom_tenors, dom_ccy,
                   derivative._domestic_floating_index),
-            Delta(np.asarray(d_for) * 1e-4,
-                  to_tenor(list(for_curve.swap_times)), dom_ccy,
+            Delta(raw["d_for"] * 1e-4, for_tenors, dom_ccy,
                   derivative._foreign_floating_index),
-            Delta(np.asarray(d_basis) * 1e-4,
-                  to_tenor(list(xccy_curve.swap_times)), dom_ccy,
-                  basis_ct)])
-
-    gamma = None
-    if RequestTypes.GAMMA in reqs:
-        g_dom = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=0),
-                                   argnums=0))(dom_rates0, for_rates0,
-                                               xccy_dfs0, consts)
-        g_for = jax.jit(jax.jacfwd(jax.jacrev(pv_fn, argnums=1),
-                                   argnums=1))(dom_rates0, for_rates0,
-                                               xccy_dfs0, consts)
-        basis_pv = lambda s, C: pv_fn(dom_rates0, for_rates0,
-                                      xccy_dfs_fn(s, for_rates0, C), C)
-        g_basis = jax.jit(jax.jacfwd(jax.jacrev(basis_pv)))(spreads0,
-                                                            consts)
-
-        # cross-gamma foreign x basis: FULL mixed second derivative of
-        # f(for, spreads) = PV(dom0, for, xccy(spreads, for))
-        f_cross = lambda fr, s, C: pv_fn(dom_rates0, fr,
-                                         xccy_dfs_fn(s, fr, C), C)
-        cross = jax.jit(jax.jacfwd(jax.jacrev(f_cross, argnums=0),
-                                   argnums=1))(for_rates0, spreads0,
-                                               consts)
-
+            Delta(raw["d_basis"] * 1e-4, basis_tenors, dom_ccy, basis_ct)])
+    if want[2]:
         cross_gamma = CrossGamma(
-            risk_matrix=np.asarray(cross) * 1e-8,
-            tenors_curve1=to_tenor(list(for_curve.swap_times)),
-            tenors_curve2=to_tenor(list(xccy_curve.swap_times)),
+            risk_matrix=raw["cross"] * 1e-8,
+            tenors_curve1=for_tenors, tenors_curve2=basis_tenors,
             currency=dom_ccy,
             curve_type_1=derivative._foreign_floating_index,
             curve_type_2=basis_ct)
-
         gamma = Risk([
-            Gamma(np.asarray(g_dom) * 1e-8,
-                  to_tenor(list(dom_curve.swap_times)), dom_ccy,
+            Gamma(raw["g_dom"] * 1e-8, dom_tenors, dom_ccy,
                   derivative._domestic_floating_index),
-            Gamma(np.asarray(g_for) * 1e-8,
-                  to_tenor(list(for_curve.swap_times)), dom_ccy,
+            Gamma(raw["g_for"] * 1e-8, for_tenors, dom_ccy,
                   derivative._foreign_floating_index),
-            Gamma(np.asarray(g_basis) * 1e-8,
-                  to_tenor(list(xccy_curve.swap_times)), dom_ccy,
-                  basis_ct)],
+            Gamma(raw["g_basis"] * 1e-8, basis_tenors, dom_ccy, basis_ct)],
             cross_gammas=[cross_gamma])
 
     cashflows = None

@@ -44,6 +44,10 @@ def build_inflation_curve(model,
     (consistent with build_curve's px_list). Returns (curve, index)."""
     currency = CurrencyTypes[name.split("_")[0]]
 
+    if seasonality_factors:
+        # JSON round-trips dict keys as strings; months are ints.
+        seasonality_factors = {int(k): float(v)
+                               for k, v in seasonality_factors.items()}
     index = InflationIndex(index_type=index_type,
                            base_date=model.value_dt.add_months(-lag_months),
                            base_index=base_cpi,
@@ -70,6 +74,7 @@ def build_inflation_curve(model,
                            base_cpi=base_cpi,
                            currency=currency,
                            index_type=index_type,
+                           interp_type=interp_type,
                            dc_type=dc_type,
                            check_refit=check_refit)
     try:
@@ -79,6 +84,8 @@ def build_inflation_curve(model,
     index.set_inflation_curve(curve)
 
     model._curves_dict[name] = curve
+    # Every constructor input is persisted (Date-encoded fixing keys) so
+    # Model.from_json rebuilds curve AND index bit-identically.
     model._curve_params_dict[name] = {
         "breakeven_list": list(breakeven_list),
         "tenor_list": list(tenor_list),
@@ -87,5 +94,10 @@ def build_inflation_curve(model,
         "lag_months": lag_months,
         "dc_type": dc_type,
         "interp_type": interp_type,
+        "cal_type": cal_type,
+        "bd_type": bd_type,
+        "seasonality_factors": dict(seasonality_factors)
+        if seasonality_factors else None,
+        "fixings": [(dt, float(v)) for dt, v in (fixings or [])] or None,
     }
     return curve, index

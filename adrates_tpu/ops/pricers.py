@@ -148,7 +148,11 @@ def pv_float_leg(dfs, times, disc_interp_type: InterpTypes,
     cf_amounts = rate * leg.pay_alphas * leg.notionals \
         + jnp.where(last, leg.principal, 0.0)
 
-    valid = leg.payment_times >= leg.value_time
+    # Strictly-future coupons only, matching the fixed-leg mask and the
+    # direct SwapFloatLeg.value() path (dt > value_dt): a coupon falling
+    # exactly on the valuation date has settled. The reference engine used
+    # >= here while its direct path used > — an inconsistency, not copied.
+    valid = leg.payment_times > leg.value_time
     pv = jnp.where(valid, (leg.leg_sign * cf_amounts) * (df_pmts / df_val),
                    0.0)
 

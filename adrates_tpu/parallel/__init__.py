@@ -4,3 +4,8 @@ from .book import (BookAggregate, BookTensors, aggregate_book,
                    make_bucketed_book_fn, make_pershard_aggregate_fn,
                    make_sharded_book_fn, merge_aggregates, shard_book,
                    tile_book)
+from .multibook import (ClampSlots, CurveBasket, MultiBook,
+                        MultiBookAggregate, MultiBookRows, aggregate_total,
+                        compile_multibook, make_multibook_fn,
+                        make_per_trade_delta_fn, make_sharded_multibook_fn,
+                        shard_multibook, tile_multibook, trade_pvs)

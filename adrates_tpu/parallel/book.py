@@ -135,10 +135,10 @@ def compile_book(swaps, value_dt, pad_to: Optional[int] = None,
         p_idx, p_n = pad_idx(lt.payment_times)
         s_idx, _ = pad_idx(lt.start_times)
         e_idx, _ = pad_idx(lt.end_times)
+        # strictly-future coupons, same convention as the fixed mask and
+        # pv_float_leg (a payment exactly at the valuation date settled)
         mask = np.zeros(P_max)
-        mask[:p_n] = (np.asarray(lt.payment_times) >= 0.0).astype(float)
-        # padded slots must be dead even though payment_time default is 0
-        mask[p_n:] = 0.0
+        mask[:p_n] = (np.asarray(lt.payment_times) > 0.0).astype(float)
         rows["flt_pay_idx"].append(p_idx)
         rows["flt_start_idx"].append(s_idx)
         rows["flt_end_idx"].append(e_idx)

@@ -1,0 +1,1045 @@
+"""Multi-currency, multi-curve book-scale pricing.
+
+Round-1's `book.py` prices one homogeneous OIS book against ONE curve.
+This module generalizes the same TPU design — one shared unique-time grid,
+per-trade gathers, aggregate-weight AD — to the reference's full
+multi-curve semantics (/root/reference/cavour/market/position/engine.py:
+2639-2728 dual-curve float legs; 1411-1988 XCCY discounting):
+
+ - a **CurveBasket** compiles a Model's curves into ONE differentiable
+   function quotes -> [C, U] discount-factor grids: every OIS curve is a
+   `bootstrap_ois`, every XCCY curve a `bootstrap_xccy` fed by the OIS
+   grids it depends on — so basis AND rate shocks re-calibrate dependent
+   curves inside the jitted graph (the reference rebuilds Python object
+   graphs per scenario, models.py:507-557);
+ - a **MultiBook** holds every leg of every trade as padded index rows:
+   `disc`/`proj` curve ids are folded into the gather indices at compile
+   time (index = curve_id * U + time_idx), so the hot sweep is the SAME
+   flat-gather kernel as the single-curve book — no runtime routing;
+ - FX conversion to the base currency is folded into the row weights;
+ - fixed coupons, float forwards and notional exchanges aggregate to
+   O(U + T) weights for book-level delta/gamma; capped/floored FRN
+   coupons (nonlinear in the DFs) ride in a small per-slot group;
+ - per-trade delta ladders come from the chain rule split: closed-form
+   per-slot dPV/dDF coefficients (no AD through the [B, P] gathers)
+   matmul'd with the [C*U, N] curve jacobian — one jacfwd of the curve
+   graph, not B backward passes.
+
+Instruments: OIS, XccyBasisSwap / XccyFixFloat / XccyFixFix, FRN
+(incl. cap/floor and first-fixing), Bond.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.bootstrap import OISBootstrapPlan, bootstrap_ois
+from ..ops.interpolation import interp_df, interp_fit
+from ..ops.pricers import FloatLegTensor, pv_float_leg
+from ..ops.xccy_bootstrap import bootstrap_xccy
+from ..utils.currency import CurrencyTypes
+from ..utils.error import LibError
+from ..utils.global_types import InstrumentTypes, InterpTypes, SwapTypes
+
+
+# ---------------------------------------------------------------------------
+# Curve basket: the model's curves as one differentiable system
+# ---------------------------------------------------------------------------
+
+
+def _stack_leg_tensors(tensors: Sequence[FloatLegTensor]) -> FloatLegTensor:
+    """Pad to a common payment count and stack along a leading axis (for
+    vmapped valuation of the XCCY calibration domestic legs). Static
+    bool switches must agree across legs."""
+    P = max(t.payment_times.shape[0] for t in tensors)
+
+    def pad(vec, fill):
+        v = np.asarray(vec, dtype=np.float64)
+        out = np.full(P, fill, dtype=np.float64)
+        out[:v.shape[0]] = v
+        return out
+
+    def stack(name, fill=0.0):
+        return np.stack([pad(getattr(t, name), fill) for t in tensors])
+
+    def scal(name):
+        return np.array([np.float64(getattr(t, name)) for t in tensors])
+
+    first = tensors[0]
+    assert all(t.override_first == first.override_first and
+               t.notional_exchange == first.notional_exchange and
+               t.has_cap_floor == first.has_cap_floor for t in tensors)
+    return FloatLegTensor(
+        payment_times=stack("payment_times", -1.0),  # padded slots settled
+        start_times=stack("start_times", 0.0),
+        end_times=stack("end_times", 0.0),
+        pay_alphas=stack("pay_alphas", 0.0),
+        index_alphas=stack("index_alphas", 0.0),  # 0 -> fwd masked to 0
+        spreads=stack("spreads", 0.0),
+        notionals=stack("notionals", 0.0),
+        principal=scal("principal"),
+        leg_sign=scal("leg_sign"),
+        value_time=scal("value_time"),
+        first_fixing_rate=scal("first_fixing_rate"),
+        notional_exchange_amount=scal("notional_exchange_amount"),
+        effective_time=scal("effective_time"),
+        maturity_time=scal("maturity_time"),
+        cap_rate=scal("cap_rate"),
+        floor_rate=scal("floor_rate"),
+        override_first=first.override_first,
+        notional_exchange=first.notional_exchange,
+        has_cap_floor=first.has_cap_floor)
+
+
+@dataclasses.dataclass
+class _CurveSpec:
+    name: str
+    kind: str                      # 'ois' | 'xccy'
+    interp_type: InterpTypes
+    n_quotes: int
+    offset: int                    # slice start in the packed quote vector
+    dom_id: int = -1               # xccy only: domestic curve id
+    for_id: int = -1               # xccy only: foreign curve id
+    foreign_interp_type: InterpTypes = None
+
+
+class CurveBasket:
+    """Compiles a Model's OIS + XCCY curves into one differentiable
+    quotes->grids function over a packed quote vector.
+
+    Curve order: OIS curves first (model insertion order), then XCCY
+    curves (which consume the OIS grids). ``specs[i].offset`` locates
+    curve i's quotes inside the packed vector.
+    """
+
+    def __init__(self, model, curve_names: Optional[List[str]] = None,
+                 recalibrate_xccy: bool = True):
+        from ..trades.rates.ois_curve import OISCurve
+        from ..trades.rates.xccy_curve import XccyCurve
+
+        names = curve_names or [
+            n for n, c in model._curves_dict.items()
+            if isinstance(c, (OISCurve, XccyCurve))]
+        ois = [(n, model._curves_dict[n]) for n in names
+               if isinstance(model._curves_dict[n], OISCurve)]
+        xccy = [(n, model._curves_dict[n]) for n in names
+                if isinstance(model._curves_dict[n], XccyCurve)]
+
+        self.model = model
+        self.recalibrate_xccy = recalibrate_xccy
+        self.specs: List[_CurveSpec] = []
+        self.curves: List[object] = []
+        self._id_by_name: Dict[str, int] = {}
+
+        params: Dict = {"ois_plans": [], "xccy": []}
+        quotes0 = []
+        offset = 0
+        for name, curve in ois:
+            n_q = len(curve.swap_rates)
+            self.specs.append(_CurveSpec(name, "ois", curve._interp_type,
+                                         n_q, offset))
+            self._id_by_name[name] = len(self.curves)
+            self.curves.append(curve)
+            params["ois_plans"].append(curve._plan)
+            quotes0.append(np.asarray(curve.swap_rates, dtype=np.float64))
+            offset += n_q
+
+        for name, curve in xccy:
+            dom_name = next(n for n, c in ois
+                            if c is curve._domestic_curve)
+            for_name = next(n for n, c in ois
+                            if c is curve._foreign_curve)
+            n_q = len(curve.basis_spreads)
+            self.specs.append(_CurveSpec(
+                name, "xccy", curve._interp_type, n_q, offset,
+                dom_id=self._id_by_name[dom_name],
+                for_id=self._id_by_name[for_name],
+                foreign_interp_type=curve._foreign_curve._interp_type))
+            self._id_by_name[name] = len(self.curves)
+            self.curves.append(curve)
+            dom_it = curve._domestic_curve._dc_type
+            dom_legs = _stack_leg_tensors([
+                s._domestic_leg.tensor(model.value_dt, index_dc=dom_it)
+                for s in curve._used_swaps])
+            params["xccy"].append(dict(
+                plan=curve._plan, dom_legs=dom_legs,
+                spot_fx=np.float64(curve._spot_fx),
+                pv_dom0=np.asarray(curve._pv_domestic, dtype=np.float64)))
+            quotes0.append(np.asarray(curve.basis_spreads,
+                                      dtype=np.float64))
+            offset += n_q
+
+        params["ois_plans"] = tuple(params["ois_plans"])
+        params["xccy"] = tuple(params["xccy"])
+        self.params = params
+        self.quotes0 = np.concatenate(quotes0) if quotes0 \
+            else np.zeros(0)
+        self.n_quotes = offset
+        self.n_curves = len(self.curves)
+
+    def curve_id(self, name: str) -> int:
+        return self._id_by_name[name]
+
+    def quote_slice(self, name: str) -> slice:
+        spec = self.specs[self._id_by_name[name]]
+        return slice(spec.offset, spec.offset + spec.n_quotes)
+
+    # ------------------------------------------------------------------
+
+    def native_grids_fn(self):
+        """Pure fn (qvec, params) -> list of per-curve (times, dfs)."""
+        specs = list(self.specs)
+        recal = self.recalibrate_xccy
+        dom_interp = [None] * len(specs)
+        for i, s in enumerate(specs):
+            if s.kind == "xccy":
+                dom_interp[i] = specs[s.dom_id].interp_type
+
+        def native(qvec, P):
+            grids = []
+            xccy_i = 0
+            for i, spec in enumerate(specs):
+                q = lax.dynamic_slice(qvec, (spec.offset,),
+                                      (spec.n_quotes,))
+                if spec.kind == "ois":
+                    ts, ds = bootstrap_ois(q, P["ois_plans"][i])
+                else:
+                    xp = P["xccy"][xccy_i]
+                    xccy_i += 1
+                    dom_ts, dom_ds = grids[spec.dom_id]
+                    for_ts, for_ds = grids[spec.for_id]
+                    if recal:
+                        d_it = dom_interp[i]
+                        pv_dom = jax.vmap(
+                            lambda lt: pv_float_leg(
+                                dom_ds, dom_ts, d_it, lt))(xp["dom_legs"])
+                    else:
+                        pv_dom = xp["pv_dom0"]
+                        for_ts = lax.stop_gradient(for_ts)
+                        for_ds = lax.stop_gradient(for_ds)
+                    ts, ds = bootstrap_xccy(
+                        q, pv_dom, for_ts, for_ds, xp["spot_fx"],
+                        xp["plan"],
+                        foreign_interp_type=spec.foreign_interp_type)
+                grids.append((ts, ds))
+            return grids
+        return native
+
+    def grids_fn(self, unique_times):
+        """Pure fn (qvec, params) -> flat [C*U] DF vector: every curve
+        interpolated over the shared unique-time grid, rows concatenated
+        in curve-id order (global index = curve_id * U + time_idx)."""
+        native_fn = self.native_grids_fn()
+        its = [s.interp_type for s in self.specs]
+        ut = np.asarray(unique_times)
+
+        def grids(qvec, P):
+            native = native_fn(qvec, P)
+            rows = []
+            for (ts, ds), it in zip(native, its):
+                aux = interp_fit(ts, ds, it)
+                rows.append(interp_df(P["unique_times"], ts, ds, it, aux))
+            return jnp.concatenate(rows)
+
+        self.params = dict(self.params, unique_times=ut)
+        return grids
+
+
+# ---------------------------------------------------------------------------
+# Multi-book tensors
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiBookRows:
+    """One pad-bucket of legs ("rows"): [R, P] padded index/amount arrays
+    with GLOBAL gather indices (curve id folded in at compile time).
+    FX-to-base and leg signs are folded into the amount weights."""
+    fix_idx: jnp.ndarray             # [R, P] int32 into [C*U]
+    fix_payments: jnp.ndarray        # [R, P]
+    fix_mask: jnp.ndarray            # [R, P]
+    flt_pay_idx: jnp.ndarray         # [R, P] int32 (disc curve)
+    flt_start_idx: jnp.ndarray       # [R, P] int32 (proj curve)
+    flt_end_idx: jnp.ndarray         # [R, P] int32 (proj curve)
+    flt_pay_alphas: jnp.ndarray      # [R, P]
+    flt_index_alphas: jnp.ndarray    # [R, P]
+    flt_spreads: jnp.ndarray         # [R, P]
+    flt_notionals: jnp.ndarray       # [R, P] signed, fx-folded
+    flt_mask: jnp.ndarray            # [R, P]
+    row_trade: jnp.ndarray           # [R] int32 owning trade
+
+    @property
+    def num_rows(self) -> int:
+        return self.fix_idx.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClampSlots:
+    """Cap/floor-clamped float coupons (nonlinear in the DFs): kept
+    per-slot. PV = w * clip((df_s/df_e - 1)/ia + spread, floor, cap)
+    * df_p, with w = sign * fx * alpha * notional."""
+    s_idx: jnp.ndarray               # [K] int32
+    e_idx: jnp.ndarray               # [K] int32
+    p_idx: jnp.ndarray               # [K] int32
+    ia: jnp.ndarray                  # [K] index-basis alphas
+    w: jnp.ndarray                   # [K]
+    spread: jnp.ndarray              # [K]
+    cap: jnp.ndarray                 # [K]
+    floor: jnp.ndarray               # [K]
+    slot_trade: jnp.ndarray          # [K] int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiBookAggregate:
+    """The book's TOTAL base-ccy PV collapsed onto the flat [C*U] grid:
+    linear weights + deduplicated forward triples (+ clamp slots handled
+    separately). U and T stay tiny regardless of book size, so the whole
+    book's delta ladder and gamma matrix cost one trade's."""
+    w_lin: jnp.ndarray               # [C*U]
+    trip_s: jnp.ndarray              # [T] int32
+    trip_e: jnp.ndarray              # [T] int32
+    trip_p: jnp.ndarray              # [T] int32
+    trip_w: jnp.ndarray              # [T]
+
+
+@dataclasses.dataclass
+class MultiBook:
+    """A compiled multi-currency book: pad-bucketed rows + clamp slots +
+    aggregate + the basket that produced the gather indices."""
+    basket: CurveBasket
+    unique_times: np.ndarray
+    buckets: Tuple[MultiBookRows, ...]
+    clamp: Optional[ClampSlots]
+    aggregate: MultiBookAggregate
+    n_trades: int
+    base_currency: CurrencyTypes
+
+
+# ---------------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------------
+
+
+class _Interner:
+    def __init__(self):
+        self._by_key = {}
+        self._times = []
+
+    def add(self, t: float) -> int:
+        key = round(float(t), 12)
+        idx = self._by_key.get(key)
+        if idx is None:
+            idx = len(self._times)
+            self._by_key[key] = idx
+            self._times.append(float(t))
+        return idx
+
+    def finish(self):
+        order = np.argsort(np.asarray(self._times))
+        remap = np.empty(len(order), dtype=np.int64)
+        remap[order] = np.arange(len(order))
+        return np.asarray(self._times)[order], remap
+
+
+_DEFAULT_OIS = {
+    CurrencyTypes.GBP: "GBP_OIS_SONIA",
+    CurrencyTypes.USD: "USD_OIS_SOFR",
+    CurrencyTypes.EUR: "EUR_OIS_ESTR",
+    CurrencyTypes.JPY: "JPY_OIS_TONAR",
+    CurrencyTypes.CHF: "CHF_OIS_SARON",
+    CurrencyTypes.AUD: "AUD_OIS_AONIA",
+    CurrencyTypes.CAD: "CAD_OIS_CORRA",
+}
+
+
+def _fx_to_base(model, ccy: CurrencyTypes, base: CurrencyTypes) -> float:
+    if ccy == base:
+        return 1.0
+    return model.fx(f"{ccy.name}{base.name}")
+
+
+def _float_row(tensor: FloatLegTensor, disc_id: int, proj_id: int,
+               fx: float, trade_id: int, clamp_rows: list):
+    """Compile a FloatLegTensor into one row dict (+ optional clamp
+    slots). Exchanges and first-fixing coupons move to the FIX side."""
+    sign = float(tensor.leg_sign)
+    w = fx * sign
+    pay_t = np.asarray(tensor.payment_times, dtype=np.float64)
+    start_t = np.asarray(tensor.start_times, dtype=np.float64)
+    end_t = np.asarray(tensor.end_times, dtype=np.float64)
+    pay_a = np.asarray(tensor.pay_alphas, dtype=np.float64)
+    idx_a = np.asarray(tensor.index_alphas, dtype=np.float64)
+    spreads = np.asarray(tensor.spreads, dtype=np.float64)
+    notionals = np.asarray(tensor.notionals, dtype=np.float64)
+    n = pay_t.shape[0]
+
+    fix_t, fix_amt, fix_m = [], [], []
+    flt = dict(pay=[], s=[], e=[], pa=[], ia=[], sp=[], no=[], m=[])
+
+    for j in range(n):
+        live = pay_t[j] > 0.0
+        amt_extra = float(tensor.principal) if j == n - 1 else 0.0
+        if tensor.override_first and j == 0:
+            # known fixing: the coupon is a fixed cashflow
+            rate = float(tensor.first_fixing_rate) + spreads[j]
+            if tensor.has_cap_floor:
+                rate = min(max(rate, float(tensor.floor_rate)),
+                           float(tensor.cap_rate))
+            fix_t.append(pay_t[j])
+            fix_amt.append(w * (rate * pay_a[j] * notionals[j] + amt_extra))
+            fix_m.append(1.0 if live else 0.0)
+            continue
+        if amt_extra:
+            fix_t.append(pay_t[j])
+            fix_amt.append(w * amt_extra)
+            fix_m.append(1.0 if live else 0.0)
+        if tensor.has_cap_floor:
+            if live:
+                clamp_rows.append(dict(
+                    s=(proj_id, start_t[j]), e=(proj_id, end_t[j]),
+                    p=(disc_id, pay_t[j]), ia=idx_a[j],
+                    w=w * pay_a[j] * notionals[j], spread=spreads[j],
+                    cap=float(tensor.cap_rate),
+                    floor=float(tensor.floor_rate), trade=trade_id))
+            continue
+        flt["pay"].append(pay_t[j])
+        flt["s"].append(start_t[j])
+        flt["e"].append(end_t[j])
+        flt["pa"].append(pay_a[j])
+        flt["ia"].append(idx_a[j])
+        flt["sp"].append(spreads[j])
+        flt["no"].append(w * notionals[j])
+        flt["m"].append(1.0 if live else 0.0)
+
+    if tensor.notional_exchange:
+        amt = float(tensor.notional_exchange_amount)
+        for t, a in [(float(tensor.effective_time), -amt),
+                     (float(tensor.maturity_time), amt)]:
+            fix_t.append(t)
+            fix_amt.append(w * a)
+            fix_m.append(1.0 if t >= 0.0 else 0.0)  # exchange AT value
+            #   date still settles today (direct value() parity)
+
+    return dict(trade=trade_id, disc=disc_id, proj=proj_id,
+                fix_t=fix_t, fix_amt=fix_amt, fix_m=fix_m, flt=flt)
+
+
+def _fixed_row(payment_times, amounts, disc_id: int, fx: float, sign: float,
+               trade_id: int, extra_exchanges=None):
+    """Fixed cashflows (+ optional (time, amount) exchanges with >= 0
+    liveness)."""
+    w = fx * sign
+    fix_t = [float(t) for t in payment_times]
+    fix_amt = [w * float(a) for a in amounts]
+    fix_m = [1.0 if t > 0.0 else 0.0 for t in fix_t]
+    for t, a in (extra_exchanges or []):
+        fix_t.append(float(t))
+        fix_amt.append(w * float(a))
+        fix_m.append(1.0 if t >= 0.0 else 0.0)
+    return dict(trade=trade_id, disc=disc_id, proj=disc_id,
+                fix_t=fix_t, fix_amt=fix_amt, fix_m=fix_m,
+                flt=dict(pay=[], s=[], e=[], pa=[], ia=[], sp=[], no=[],
+                         m=[]))
+
+
+def _rows_for_instrument(inst, model, basket: CurveBasket, base, value_dt,
+                         trade_id: int, clamp_rows: list) -> list:
+    """Compile one instrument into row dicts. Cites the reference
+    semantics each row reproduces (engine.py:2639-2728 dual-curve floats,
+    1496-1520 XCCY foreign legs, 505-698 bonds, 700-984 FRNs)."""
+    from ..market.position.engine_xccy import _float_leg_xccy_tensor, \
+        find_xccy_curve
+    from ..market.position.engine_credit import _bond_tensor, _frn_tensor
+    from ..utils.day_count import DayCountTypes
+
+    itype = inst.derivative_type
+    rows = []
+
+    if itype == InstrumentTypes.OIS_SWAP:
+        cid = basket.curve_id(inst._floating_index.name)
+        curve = basket.curves[cid]
+        fx = _fx_to_base(model, inst._currency, base)
+        ft = inst._fixed_leg.tensor(value_dt)
+        lt = inst._float_leg.tensor(value_dt, index_dc=curve._dc_type)
+        rows.append(_fixed_row(ft.payment_times,
+                               np.asarray(ft.payments), cid, fx,
+                               float(ft.leg_sign), trade_id))
+        rows.append(_float_row(lt, cid, cid, fx, trade_id,
+                               clamp_rows))
+
+    elif itype == InstrumentTypes.XCCY_SWAP:
+        xname, xcurve = find_xccy_curve(model, inst)
+        xid = basket.curve_id(xname)
+        dom_id = basket.curve_id(inst._domestic_floating_index.name)
+        for_id = basket.curve_id(inst._foreign_floating_index.name)
+        dom_curve = basket.curves[dom_id]
+        for_curve = basket.curves[for_id]
+        fx_dom = _fx_to_base(model, inst._domestic_currency, base)
+        fx_for = fx_dom * float(xcurve._spot_fx)  # foreign leg PV is in
+        #   foreign ccy; trade PV converts at the curve's spot
+
+        from ..trades.rates.swap_fixed_leg import SwapFixedLeg
+        dom_leg = inst._domestic_leg
+        for_leg = inst._foreign_leg
+
+        if isinstance(dom_leg, SwapFixedLeg):
+            ft = dom_leg.tensor(value_dt)
+            sign = float(ft.leg_sign)
+            # manual exchanges on fixed XCCY legs (engine parity:
+            # xccy_fix_float_swap.py value())
+            from ..utils.helpers import times_from_dates
+            eff_t = times_from_dates(inst._effective_dt, value_dt,
+                                     DayCountTypes.ACT_ACT_ISDA)
+            mat_t = times_from_dates(inst._maturity_dt, value_dt,
+                                     DayCountTypes.ACT_ACT_ISDA)
+            n = inst._domestic_notional
+            rows.append(_fixed_row(
+                ft.payment_times, np.asarray(ft.payments), dom_id, fx_dom,
+                sign, trade_id,
+                extra_exchanges=[(eff_t, -n), (mat_t, n)]))
+        else:
+            lt = dom_leg.tensor(value_dt, index_dc=dom_curve._dc_type)
+            rows.append(_float_row(lt, dom_id, dom_id, fx_dom, trade_id,
+                                   clamp_rows))
+
+        if isinstance(for_leg, SwapFixedLeg):
+            from ..utils.helpers import times_from_dates
+            xdc = DayCountTypes.ACT_365F
+            pay_t = np.asarray(times_from_dates(
+                for_leg._payment_dts, value_dt, xdc))
+            sign = 1.0 if for_leg._leg_type == SwapTypes.RECEIVE else -1.0
+            eff_t = times_from_dates(inst._effective_dt, value_dt, xdc)
+            mat_t = times_from_dates(inst._maturity_dt, value_dt, xdc)
+            n = inst._foreign_notional
+            rows.append(_fixed_row(
+                pay_t, np.asarray(for_leg._payments), xid, fx_for, sign,
+                trade_id, extra_exchanges=[(eff_t, -n), (mat_t, n)]))
+        else:
+            lt = _float_leg_xccy_tensor(for_leg, value_dt,
+                                        for_curve._dc_type)
+            rows.append(_float_row(lt, xid, for_id, fx_for, trade_id,
+                                   clamp_rows))
+
+    elif itype == InstrumentTypes.FRN:
+        disc_name = _DEFAULT_OIS[inst._currency]
+        disc_id = basket.curve_id(disc_name)
+        proj_id = basket.curve_id(inst._floating_index.name)
+        idx_curve = basket.curves[proj_id]
+        fx = _fx_to_base(model, inst._currency, base)
+        lt = _frn_tensor(inst, value_dt, index_dc=idx_curve._dc_type)
+        rows.append(_float_row(lt, disc_id, proj_id, fx, trade_id,
+                               clamp_rows))
+
+    elif itype == InstrumentTypes.BOND:
+        disc_name = _DEFAULT_OIS[inst._currency]
+        disc_id = basket.curve_id(disc_name)
+        fx = _fx_to_base(model, inst._currency, base)
+        ft = _bond_tensor(inst, value_dt)
+        amounts = np.asarray(ft.payments, dtype=np.float64).copy()
+        amounts[-1] += float(ft.principal)
+        rows.append(_fixed_row(ft.payment_times, amounts, disc_id, fx,
+                               1.0, trade_id))
+
+    else:
+        raise LibError(f"MultiBook does not support {itype}")
+
+    return rows
+
+
+def compile_multibook(instruments, model,
+                      base_currency: CurrencyTypes = CurrencyTypes.GBP,
+                      curve_names: Optional[List[str]] = None,
+                      n_buckets: int = 4,
+                      recalibrate_xccy: bool = True) -> MultiBook:
+    """Compile a heterogeneous multi-currency book against a Model.
+
+    Returns a MultiBook whose rows gather from the flat [C*U] DF vector
+    produced by ``basket.grids_fn``; all PVs are in ``base_currency``.
+    """
+    basket = CurveBasket(model, curve_names,
+                         recalibrate_xccy=recalibrate_xccy)
+    value_dt = model.value_dt
+
+    clamp_rows: list = []
+    rows: list = []
+    for t_id, inst in enumerate(instruments):
+        rows += _rows_for_instrument(inst, model, basket, base_currency,
+                                     value_dt, t_id, clamp_rows)
+
+    intern = _Interner()
+    intern.add(0.0)
+
+    # First pass: intern every (time) once; rows store temp indices.
+    def tmp_idx(t):
+        return intern.add(t)
+
+    for r in rows:
+        r["fix_ti"] = [tmp_idx(t) for t in r["fix_t"]]
+        r["flt_pi"] = [tmp_idx(t) for t in r["flt"]["pay"]]
+        r["flt_si"] = [tmp_idx(t) for t in r["flt"]["s"]]
+        r["flt_ei"] = [tmp_idx(t) for t in r["flt"]["e"]]
+    for c in clamp_rows:
+        c["si"] = tmp_idx(c["s"][1])
+        c["ei"] = tmp_idx(c["e"][1])
+        c["pi"] = tmp_idx(c["p"][1])
+
+    unique_times, remap = intern.finish()
+    U = unique_times.shape[0]
+
+    def gidx(curve_id, tmp):
+        return curve_id * U + int(remap[tmp])
+
+    # Bucket rows by padded length.
+    def row_size(r):
+        return max(len(r["fix_ti"]),
+                   len(r["flt_pi"]), 1)
+
+    order = np.argsort([row_size(r) for r in rows], kind="stable")
+    n = len(rows)
+    bounds = np.linspace(0, n, min(n_buckets, n) + 1).astype(int)
+    spans = []
+    sizes_sorted = [row_size(rows[i]) for i in order]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        pad = max(sizes_sorted[lo:hi])
+        if spans and spans[-1][2] == pad:
+            spans[-1] = (spans[-1][0], hi, pad)
+        else:
+            spans.append((lo, hi, pad))
+
+    buckets = []
+    for lo, hi, P in spans:
+        sel = [rows[i] for i in order[lo:hi]]
+        R = len(sel)
+        arr = dict(
+            fix_idx=np.zeros((R, P), dtype=np.int32),
+            fix_payments=np.zeros((R, P)),
+            fix_mask=np.zeros((R, P)),
+            flt_pay_idx=np.zeros((R, P), dtype=np.int32),
+            flt_start_idx=np.zeros((R, P), dtype=np.int32),
+            flt_end_idx=np.zeros((R, P), dtype=np.int32),
+            flt_pay_alphas=np.zeros((R, P)),
+            flt_index_alphas=np.zeros((R, P)),
+            flt_spreads=np.zeros((R, P)),
+            flt_notionals=np.zeros((R, P)),
+            flt_mask=np.zeros((R, P)),
+            row_trade=np.zeros(R, dtype=np.int32))
+        for k, r in enumerate(sel):
+            arr["row_trade"][k] = r["trade"]
+            nf = len(r["fix_ti"])
+            arr["fix_idx"][k, :nf] = [gidx(r["disc"], t)
+                                      for t in r["fix_ti"]]
+            arr["fix_payments"][k, :nf] = r["fix_amt"]
+            arr["fix_mask"][k, :nf] = r["fix_m"]
+            nl = len(r["flt_pi"])
+            arr["flt_pay_idx"][k, :nl] = [gidx(r["disc"], t)
+                                          for t in r["flt_pi"]]
+            arr["flt_start_idx"][k, :nl] = [gidx(r["proj"], t)
+                                            for t in r["flt_si"]]
+            arr["flt_end_idx"][k, :nl] = [gidx(r["proj"], t)
+                                          for t in r["flt_ei"]]
+            arr["flt_pay_alphas"][k, :nl] = r["flt"]["pa"]
+            arr["flt_index_alphas"][k, :nl] = r["flt"]["ia"]
+            arr["flt_spreads"][k, :nl] = r["flt"]["sp"]
+            arr["flt_notionals"][k, :nl] = r["flt"]["no"]
+            arr["flt_mask"][k, :nl] = r["flt"]["m"]
+        buckets.append(MultiBookRows(**arr))
+
+    clamp = None
+    if clamp_rows:
+        clamp = ClampSlots(
+            s_idx=np.array([gidx(c["s"][0], c["si"]) for c in clamp_rows],
+                           dtype=np.int32),
+            e_idx=np.array([gidx(c["e"][0], c["ei"]) for c in clamp_rows],
+                           dtype=np.int32),
+            p_idx=np.array([gidx(c["p"][0], c["pi"]) for c in clamp_rows],
+                           dtype=np.int32),
+            ia=np.array([c["ia"] for c in clamp_rows]),
+            w=np.array([c["w"] for c in clamp_rows]),
+            spread=np.array([c["spread"] for c in clamp_rows]),
+            cap=np.array([c["cap"] for c in clamp_rows]),
+            floor=np.array([c["floor"] for c in clamp_rows]),
+            slot_trade=np.array([c["trade"] for c in clamp_rows],
+                                dtype=np.int32))
+
+    agg = _aggregate(buckets, basket.n_curves * U)
+    basket.grids = basket.grids_fn(unique_times)
+
+    return MultiBook(basket=basket, unique_times=unique_times,
+                     buckets=tuple(buckets), clamp=clamp, aggregate=agg,
+                     n_trades=len(instruments),
+                     base_currency=base_currency)
+
+
+def _aggregate(buckets, CU: int) -> MultiBookAggregate:
+    """Collapse the linear rows to aggregate weights (host-side)."""
+    w_lin = np.zeros(CU)
+    ss, ee, pp, ww = [], [], [], []
+    for b in buckets:
+        fix_idx = np.asarray(b.fix_idx).ravel()
+        fix_w = (np.asarray(b.fix_payments)
+                 * np.asarray(b.fix_mask)).ravel()
+        w_lin += np.bincount(fix_idx, weights=fix_w, minlength=CU)
+
+        pay = np.asarray(b.flt_pay_idx).ravel()
+        spread_w = (np.asarray(b.flt_spreads)
+                    * np.asarray(b.flt_pay_alphas)
+                    * np.asarray(b.flt_notionals)
+                    * np.asarray(b.flt_mask)).ravel()
+        w_lin += np.bincount(pay, weights=spread_w, minlength=CU)
+
+        ia = np.asarray(b.flt_index_alphas)
+        pa = np.asarray(b.flt_pay_alphas)
+        scale = np.where(ia > 0.0, pa / np.where(ia > 0.0, ia, 1.0), 0.0)
+        w = (np.asarray(b.flt_notionals) * scale
+             * np.asarray(b.flt_mask)).ravel()
+        live = w != 0.0
+        ss.append(np.asarray(b.flt_start_idx).ravel()[live])
+        ee.append(np.asarray(b.flt_end_idx).ravel()[live])
+        pp.append(pay[live])
+        ww.append(w[live])
+
+    s = np.concatenate(ss) if ss else np.zeros(0, dtype=np.int64)
+    e = np.concatenate(ee) if ee else np.zeros(0, dtype=np.int64)
+    p = np.concatenate(pp) if pp else np.zeros(0, dtype=np.int64)
+    w = np.concatenate(ww) if ww else np.zeros(0)
+    key = (s.astype(np.int64) * CU + e) * CU + p
+    uniq, inverse = np.unique(key, return_inverse=True)
+    trip_w = np.bincount(inverse, weights=w)
+    return MultiBookAggregate(
+        w_lin=w_lin,
+        trip_s=(uniq // (CU * CU)).astype(np.int32),
+        trip_e=((uniq // CU) % CU).astype(np.int32),
+        trip_p=(uniq % CU).astype(np.int32),
+        trip_w=trip_w)
+
+
+def tile_multibook(mb: MultiBook, n_copies: int,
+                   notional_scale=None) -> MultiBook:
+    """Scale a compiled multibook up by tiling its rows/clamp slots with
+    per-copy notional multipliers (copies share schedules and curves;
+    amounts differ). Trade k of copy c becomes trade c * B + k."""
+    if notional_scale is None:
+        notional_scale = np.ones(n_copies)
+    scale = np.asarray(notional_scale, dtype=np.float64)
+    B = mb.n_trades
+
+    def tile(x, amount=False, trade=False):
+        x = np.asarray(x)
+        tiled = np.tile(x, (n_copies,) + (1,) * (x.ndim - 1))
+        if amount:
+            reps = np.repeat(scale, x.shape[0])
+            tiled = tiled * reps.reshape((-1,) + (1,) * (x.ndim - 1))
+        if trade:
+            offs = np.repeat(np.arange(n_copies, dtype=np.int32) * B,
+                             x.shape[0])
+            tiled = tiled + offs
+        return tiled
+
+    buckets = tuple(MultiBookRows(
+        fix_idx=tile(b.fix_idx),
+        fix_payments=tile(b.fix_payments, amount=True),
+        fix_mask=tile(b.fix_mask),
+        flt_pay_idx=tile(b.flt_pay_idx),
+        flt_start_idx=tile(b.flt_start_idx),
+        flt_end_idx=tile(b.flt_end_idx),
+        flt_pay_alphas=tile(b.flt_pay_alphas),
+        flt_index_alphas=tile(b.flt_index_alphas),
+        flt_spreads=tile(b.flt_spreads),
+        flt_notionals=tile(b.flt_notionals, amount=True),
+        flt_mask=tile(b.flt_mask),
+        row_trade=tile(b.row_trade, trade=True).astype(np.int32),
+    ) for b in mb.buckets)
+
+    clamp = None
+    if mb.clamp is not None:
+        c = mb.clamp
+        clamp = ClampSlots(
+            s_idx=tile(c.s_idx).astype(np.int32),
+            e_idx=tile(c.e_idx).astype(np.int32),
+            p_idx=tile(c.p_idx).astype(np.int32),
+            ia=tile(c.ia), w=tile(c.w, amount=True),
+            spread=tile(c.spread), cap=tile(c.cap), floor=tile(c.floor),
+            slot_trade=tile(c.slot_trade, trade=True).astype(np.int32))
+
+    CU = mb.basket.n_curves * mb.unique_times.shape[0]
+    agg = _aggregate(buckets, CU)
+    return MultiBook(basket=mb.basket, unique_times=mb.unique_times,
+                     buckets=buckets, clamp=clamp, aggregate=agg,
+                     n_trades=B * n_copies,
+                     base_currency=mb.base_currency)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _combine_rows(b: MultiBookRows):
+    """Scenario-invariant slot weights (HBM traffic: 3 f64 + 4 int32 per
+    slot in the sweep instead of 8 f64 + 4 int32)."""
+    w_fix = b.fix_payments * b.fix_mask
+    ia = b.flt_index_alphas
+    ratio = jnp.where(ia > 0.0,
+                      b.flt_pay_alphas / jnp.where(ia > 0.0, ia, 1.0),
+                      0.0)
+    w_fwd = ratio * b.flt_notionals * b.flt_mask
+    w_spr = b.flt_spreads * b.flt_pay_alphas * b.flt_notionals * b.flt_mask
+    return w_fix, w_fwd, w_spr
+
+
+def _row_pvs(dfs_flat, b: MultiBookRows, combined):
+    w_fix, w_fwd, w_spr = combined
+    fix_pv = jnp.sum(w_fix * dfs_flat[b.fix_idx], axis=1)
+    df_s = dfs_flat[b.flt_start_idx]
+    df_e = dfs_flat[b.flt_end_idx]
+    df_p = dfs_flat[b.flt_pay_idx]
+    cf = w_fwd * (df_s / df_e - 1.0) + w_spr
+    return fix_pv + jnp.sum(cf * df_p, axis=1)
+
+
+def _clamp_pvs(dfs_flat, c: ClampSlots):
+    df_s = dfs_flat[c.s_idx]
+    df_e = dfs_flat[c.e_idx]
+    df_p = dfs_flat[c.p_idx]
+    fwd = jnp.where(c.ia > 0.0, (df_s / df_e - 1.0)
+                    / jnp.where(c.ia > 0.0, c.ia, 1.0), 0.0)
+    rate = jnp.clip(fwd + c.spread, c.floor, c.cap)
+    return c.w * rate * df_p
+
+
+def trade_pvs(dfs_flat, mb_buckets, clamp, n_trades: int, combined=None):
+    """Per-trade base-ccy PVs [B] from a flat DF vector."""
+    if combined is None:
+        combined = [_combine_rows(b) for b in mb_buckets]
+    out = jnp.zeros(n_trades)
+    for b, comb in zip(mb_buckets, combined):
+        rpv = _row_pvs(dfs_flat, b, comb)
+        out = out.at[b.row_trade].add(rpv)
+    if clamp is not None:
+        out = out.at[clamp.slot_trade].add(_clamp_pvs(dfs_flat, clamp))
+    return out
+
+
+def aggregate_total(dfs_flat, agg: MultiBookAggregate,
+                    clamp: Optional[ClampSlots]):
+    """Total book PV — O(U + T + K) regardless of trade count."""
+    lin = jnp.sum(agg.w_lin * dfs_flat)
+    trip = jnp.sum(agg.trip_w
+                   * (dfs_flat[agg.trip_s] / dfs_flat[agg.trip_e] - 1.0)
+                   * dfs_flat[agg.trip_p])
+    total = lin + trip
+    if clamp is not None:
+        total = total + jnp.sum(_clamp_pvs(dfs_flat, clamp))
+    return total
+
+
+def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
+    """Jitted (qvec, shocks [S, N]) -> {pvs [S, B], delta [S, N],
+    gamma [S, N, N]}: per-trade PVs from the gather sweep (streamed
+    scenario-by-scenario), book delta/gamma from the aggregate graph.
+    N is the packed quote dimension across EVERY curve (OIS rates +
+    basis spreads), so the gamma includes all cross-curve blocks."""
+    basket = mb.basket
+    grids = basket.grids
+    params = jax.device_put(basket.params)
+    buckets = jax.device_put(mb.buckets)
+    clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
+    agg = jax.device_put(mb.aggregate)
+    n_trades = mb.n_trades
+
+    @jax.jit
+    def _fn(qvec, P, bks, cl, ag, shocks):
+        combined = [_combine_rows(b) for b in bks]
+
+        def grid(shock):
+            return grids(qvec + shock, P)
+
+        dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
+        pvs = lax.map(
+            lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all)
+
+        def one_scenario(shock):
+            total = lambda q: aggregate_total(grids(q, P), ag, cl)
+            out = {"delta": jax.jacrev(total)(qvec + shock)}
+            if want_gamma:
+                out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
+            return out
+
+        out = jax.vmap(one_scenario)(shocks)
+        out["pvs"] = pvs
+        return out
+
+    def fn(qvec, shocks):
+        return _fn(jnp.asarray(qvec), params, buckets, clamp, agg,
+                   jnp.asarray(shocks))
+
+    return fn
+
+
+def shard_multibook(mb: MultiBook, mesh, axis: str = "book"):
+    """Place a multibook's row/clamp tensors with their leading axis
+    sharded across the mesh (curve params and the aggregate replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    buckets = tuple(MultiBookRows(**{
+        f.name: put(getattr(b, f.name),
+                    P(axis, None) if np.asarray(
+                        getattr(b, f.name)).ndim == 2 else P(axis))
+        for f in dataclasses.fields(MultiBookRows)})
+        for b in mb.buckets)
+    clamp = None
+    if mb.clamp is not None:
+        clamp = ClampSlots(**{
+            f.name: put(getattr(mb.clamp, f.name), P(axis))
+            for f in dataclasses.fields(ClampSlots)})
+    return dataclasses.replace(mb, buckets=buckets, clamp=clamp)
+
+
+def make_sharded_multibook_fn(mb: MultiBook, mesh, axis: str = "book",
+                              want_gamma: bool = True):
+    """Multibook analytics under GSPMD: rows sharded over the mesh, quote
+    vector and curve graph replicated; the per-trade scatter-add and
+    portfolio aggregates ride ICI collectives inserted by XLA."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    basket = mb.basket
+    grids = basket.grids
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(basket.params, repl)
+    agg = jax.device_put(mb.aggregate, repl)
+    n_trades = mb.n_trades
+
+    row_shard = MultiBookRows(**{
+        f.name: NamedSharding(mesh, P(axis, None))
+        if f.name != "row_trade" else NamedSharding(mesh, P(axis))
+        for f in dataclasses.fields(MultiBookRows)})
+    bucket_shardings = tuple(row_shard for _ in mb.buckets)
+    clamp_shard = None if mb.clamp is None else ClampSlots(**{
+        f.name: NamedSharding(mesh, P(axis))
+        for f in dataclasses.fields(ClampSlots)})
+
+    @partial(jax.jit, in_shardings=(repl, repl, bucket_shardings,
+                                    clamp_shard, repl, repl))
+    def _fn(qvec, Pp, bks, cl, ag, shocks):
+        def one_scenario(shock):
+            dfs_flat = grids(qvec + shock, Pp)
+            pvs = trade_pvs(dfs_flat, bks, cl, n_trades)
+            total = lambda q: aggregate_total(grids(q, Pp), ag, cl)
+            out = {"total_pv": jnp.sum(pvs),
+                   "delta": jax.jacrev(total)(qvec + shock)}
+            if want_gamma:
+                out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
+            return out
+        return jax.vmap(one_scenario)(shocks)
+
+    buckets = mb.buckets
+    clamp = mb.clamp
+
+    def fn(qvec, shocks):
+        return _fn(jnp.asarray(qvec), params, buckets, clamp, agg,
+                   jnp.asarray(shocks))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# per-trade delta ladders (VERDICT round-1 item 4)
+# ---------------------------------------------------------------------------
+
+
+def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
+    """Jitted (qvec) -> [B, N] per-trade delta ladders (ccy units per unit
+    rate; multiply by 1e-4 for per-bp), single scenario.
+
+    Chain-rule split: per-slot dPV/dDF coefficients are CLOSED FORM (the
+    same gathers as the PV sweep — no AD through the [R, P] graph), and
+    the curve jacobian J = d dfs_flat / d quotes [C*U, N] is ONE jacfwd
+    of the curve graph. delta_row = sum_p coef[p] * J[idx[p]], computed
+    in row chunks to bound the [chunk, P, N] gather temporary."""
+    basket = mb.basket
+    grids = basket.grids
+    params = jax.device_put(basket.params)
+    buckets = jax.device_put(mb.buckets)
+    clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
+    n_trades = mb.n_trades
+
+    @jax.jit
+    def _fn(qvec, P, bks, cl):
+        dfs_flat = grids(qvec, P)
+        J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
+        N = J.shape[1]
+        out = jnp.zeros((n_trades, N))
+
+        for b in bks:
+            w_fix, w_fwd, w_spr = _combine_rows(b)
+            df_s = dfs_flat[b.flt_start_idx]
+            df_e = dfs_flat[b.flt_end_idx]
+            df_p = dfs_flat[b.flt_pay_idx]
+            coef_p = w_fwd * (df_s / df_e - 1.0) + w_spr     # d/d df_p
+            coef_s = w_fwd * df_p / df_e                     # d/d df_s
+            coef_e = -w_fwd * df_s * df_p / (df_e * df_e)    # d/d df_e
+
+            R = b.fix_idx.shape[0]
+            pad = (-R) % chunk
+            def padded(x, fill=0):
+                return jnp.concatenate(
+                    [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
+                    if pad else x
+
+            stacked = [padded(b.fix_idx), padded(w_fix),
+                       padded(b.flt_pay_idx), padded(coef_p),
+                       padded(b.flt_start_idx), padded(coef_s),
+                       padded(b.flt_end_idx), padded(coef_e)]
+            stacked = [x.reshape((-1, chunk) + x.shape[1:])
+                       for x in stacked]
+
+            def chunk_delta(args):
+                fi, wf, pi, cp, si, cs, ei, ce = args
+                d = jnp.einsum("bp,bpn->bn", wf, J[fi])
+                d += jnp.einsum("bp,bpn->bn", cp, J[pi])
+                d += jnp.einsum("bp,bpn->bn", cs, J[si])
+                d += jnp.einsum("bp,bpn->bn", ce, J[ei])
+                return d
+
+            deltas = lax.map(chunk_delta, tuple(stacked))    # [nc, chunk, N]
+            deltas = deltas.reshape(-1, N)[:R]
+            out = out.at[b.row_trade].add(deltas)
+
+        if cl is not None:
+            df_s = dfs_flat[cl.s_idx]
+            df_e = dfs_flat[cl.e_idx]
+            df_p = dfs_flat[cl.p_idx]
+            ia_safe = jnp.where(cl.ia > 0.0, cl.ia, 1.0)
+            fwd = jnp.where(cl.ia > 0.0, (df_s / df_e - 1.0) / ia_safe,
+                            0.0)
+            pre = fwd + cl.spread
+            rate = jnp.clip(pre, cl.floor, cl.cap)
+            inside = ((pre > cl.floor) & (pre < cl.cap)).astype(df_s.dtype)
+            cp = cl.w * rate                                  # d/d df_p
+            cs = cl.w * df_p * inside / (ia_safe * df_e)
+            ce = -cl.w * df_p * inside * df_s / (ia_safe * df_e * df_e)
+            d = (cp[:, None] * J[cl.p_idx] + cs[:, None] * J[cl.s_idx]
+                 + ce[:, None] * J[cl.e_idx])
+            out = out.at[cl.slot_trade].add(d)
+        return out
+
+    def fn(qvec):
+        return _fn(jnp.asarray(qvec), params, buckets, clamp)
+
+    return fn

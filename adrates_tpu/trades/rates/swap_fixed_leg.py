@@ -132,8 +132,22 @@ class SwapFixedLeg:
 
         ``discount_dc`` overrides the basis for the DISCOUNT query times —
         needed when the discount curve converts dates with a fixed basis
-        regardless of the caller's (XccyCurve.df pins ACT/365F)."""
+        regardless of the caller's (XccyCurve.df pins ACT/365F).
+
+        Memoized per (value date, basis): warm engine requests skip the
+        per-payment Python date arithmetic entirely."""
         ddc = discount_dc or self._dc_type
+        memo_key = (value_dt.serial(), ddc)
+        memo = self.__dict__.setdefault("_tensor_memo", {})
+        cached = memo.get(memo_key)
+        if cached is not None:
+            return cached
+        out = self._tensor_uncached(value_dt, ddc)
+        memo[memo_key] = out
+        return out
+
+    def _tensor_uncached(self, value_dt: Date,
+                         ddc: DayCountTypes) -> FixedLegTensor:
         # numpy leaves: device transfer happens once at the jitted call —
         # building tiny device arrays here costs a tunnel roundtrip each.
         payment_times = np.asarray(

@@ -148,9 +148,25 @@ class SwapFloatLeg:
         defaults to the leg's own day count when the two coincide.
         ``discount_dc`` overrides the basis for the DISCOUNT query times
         (payment/value/exchange) — XccyCurve.df pins ACT/365F regardless
-        of the caller's basis."""
+        of the caller's basis.
+
+        Memoized per (value date, bases, fixing): warm engine requests
+        skip the per-payment Python date arithmetic entirely."""
         dc = self._dc_type
         ddc = discount_dc or dc
+        memo_key = (value_dt.serial(), first_fixing_rate, index_dc, ddc)
+        memo = self.__dict__.setdefault("_tensor_memo", {})
+        cached = memo.get(memo_key)
+        if cached is not None:
+            return cached
+        out = self._tensor_uncached(value_dt, first_fixing_rate, index_dc,
+                                    ddc)
+        memo[memo_key] = out
+        return out
+
+    def _tensor_uncached(self, value_dt, first_fixing_rate, index_dc,
+                         ddc) -> FloatLegTensor:
+        dc = self._dc_type
         if index_dc is None or index_dc == dc:
             index_alphas = np.array(self._year_fracs, dtype=np.float64)
         else:

@@ -55,6 +55,22 @@ class CurveTypes(Enum):
     GBP_CPI_INFLATION = 6
     USD_CPI_INFLATION = 7
     EUR_HICP_INFLATION = 8
+    # Basis pairs beyond the reference's single USD_GBP entry
+    # (multi-currency books report ladders per calibrated pair).
+    GBP_USD_BASIS = 9
+    EUR_USD_BASIS = 10
+    USD_EUR_BASIS = 11
+    EUR_GBP_BASIS = 12
+    GBP_EUR_BASIS = 13
+    # Further OIS benchmarks for multi-currency books.
+    JPY_OIS_TONAR = 14
+    CHF_OIS_SARON = 15
+    AUD_OIS_AONIA = 16
+    CAD_OIS_CORRA = 17
+    JPY_USD_BASIS = 18
+    CHF_USD_BASIS = 19
+    AUD_USD_BASIS = 20
+    CAD_USD_BASIS = 21
 
 
 class InflationIndexTypes(Enum):

@@ -145,7 +145,96 @@ class TestOISUnderXccyCollateral:
                          xccy_discount_curve=m.curves["GBP_USD_XCCY"],
                          spot_fx=1 / 1.27)
         assert res.value.amount == pytest.approx(direct, abs=1e-6)
+        # The collateral path must report BOTH ladders: OIS rates and
+        # basis spreads (the reference returns Risk([delta_ois,
+        # delta_xccy]), engine.py:455-490)
+        from adrates_tpu.utils.global_types import CurveTypes as CT
         assert res.risk is not None
+        d_ois = res.risk(CT.GBP_OIS_SONIA)
+        d_basis = res.risk(CT.GBP_USD_BASIS)
+        assert d_ois is not None and d_basis is not None
+        assert any(abs(x) > 1.0 for x in d_basis.risk_ladder), \
+            "basis ladder must show non-zero exposure"
+
+    @staticmethod
+    def _build_model(xccy_shift_bp=None):
+        m = Model(VALUE_DT)
+        m.build_curve("USD_OIS_SOFR", px_list=[5.3, 5.0, 4.6, 4.0, 3.88],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_360,
+                      float_dc_type=DayCountTypes.ACT_360,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_curve("GBP_OIS_SONIA", px_list=[5.0, 4.7, 4.3, 3.9, 3.87],
+                      tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        spreads = [-5.0, -8.0, -11.0]
+        if xccy_shift_bp is not None:
+            i, h = xccy_shift_bp
+            spreads[i] += h
+        m.build_xccy_curve(name="GBP_USD_XCCY",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=spreads,
+                           tenor_list=["1Y", "5Y", "10Y"], spot_fx=1.27)
+        m.build_fx(["GBPUSD"], [1.27])
+        return m
+
+    @staticmethod
+    def _swap():
+        return OIS(VALUE_DT, "5Y", SwapTypes.RECEIVE, 0.039,
+                   FrequencyTypes.ANNUAL, DayCountTypes.ACT_365F,
+                   CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+                   notional=10_000_000,
+                   float_dc_type=DayCountTypes.ACT_365F)
+
+    def test_basis_delta_vs_fd(self):
+        """AD basis-spread ladder == central FD of the re-bootstrapped
+        XCCY curve (VERDICT round-1 item 2's acceptance gate)."""
+        from adrates_tpu.utils.global_types import CurveTypes as CT
+        m = self._build_model()
+        s = self._swap()
+        res = s.position(m).compute([RequestTypes.DELTA],
+                                    collateral_type=CollateralType.USD)
+        ladder = res.risk(CT.GBP_USD_BASIS).risk_ladder
+
+        h = 0.5  # bp
+        for i in [1, 2]:  # 5Y and 10Y pillars carry the 5Y trade's risk
+            up = self._build_model(xccy_shift_bp=(i, h))
+            dn = self._build_model(xccy_shift_bp=(i, -h))
+            pv_up = s.position(up).compute(
+                [RequestTypes.VALUE],
+                collateral_type=CollateralType.USD).value.amount
+            pv_dn = s.position(dn).compute(
+                [RequestTypes.VALUE],
+                collateral_type=CollateralType.USD).value.amount
+            fd = (pv_up - pv_dn) / (2 * h)
+            assert ladder[i] == pytest.approx(fd, rel=5e-4, abs=1e-4)
+
+    def test_ois_delta_vs_fd_with_recalibration(self):
+        """AD OIS-rate ladder under foreign collateral carries the XCCY
+        recalibration chain: it must match central FD where the shocked
+        scenario re-bootstraps the dependent XCCY curve (scenario() does)."""
+        from adrates_tpu.utils.global_types import CurveTypes as CT
+        m = self._build_model()
+        s = self._swap()
+        res = s.position(m).compute([RequestTypes.DELTA],
+                                    collateral_type=CollateralType.USD)
+        ladder = res.risk(CT.GBP_OIS_SONIA).risk_ladder
+
+        h_pct = 0.01  # percent units for scenario(); 1 bp
+        for tenor, i in [("5Y", 3)]:
+            up = m.scenario("GBP_OIS_SONIA", {tenor: h_pct})
+            dn = m.scenario("GBP_OIS_SONIA", {tenor: -h_pct})
+            pv_up = s.position(up).compute(
+                [RequestTypes.VALUE],
+                collateral_type=CollateralType.USD).value.amount
+            pv_dn = s.position(dn).compute(
+                [RequestTypes.VALUE],
+                collateral_type=CollateralType.USD).value.amount
+            fd = (pv_up - pv_dn) / (2 * h_pct * 100)  # per bp
+            assert ladder[i] == pytest.approx(fd, rel=5e-4, abs=1e-2)
 
 
 class TestModelSerialization:
@@ -192,6 +281,36 @@ class TestModelSerialization:
         np.testing.assert_allclose(
             np.array(m2.curves["GBP_USD_XCCY"]._dfs),
             np.array(m.curves["GBP_USD_XCCY"]._dfs), atol=0)
+
+    def test_inflation_roundtrip_preserves_index_state(self):
+        """Seasonality factors, fixings, calendar and interp type must
+        survive the JSON round-trip (ADVICE r1: they were dropped, so
+        restored YoY/ZCIS valuations differed)."""
+        import numpy as np
+        from adrates_tpu.utils.global_types import InflationInterpTypes
+        m = Model(VALUE_DT)
+        m.build_curve("GBP_OIS_SONIA", px_list=[4.9, 4.2, 3.8],
+                      tenor_list=["6M", "2Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        seas = {1: 1.002, 7: 0.998}
+        fixings = [(Date(1, 10, 2023), 291.0), (Date(1, 11, 2023), 292.1)]
+        curve, index = m.build_inflation_curve(
+            "GBP_RPI_INFLATION", breakeven_list=[3.6, 3.4],
+            tenor_list=["2Y", "10Y"], base_cpi=293.0,
+            seasonality_factors=seas, fixings=fixings,
+            interp_type=InflationInterpTypes.COMPOUND)
+        m2 = Model.from_json(m.to_json())
+        c2 = m2.curves["GBP_RPI_INFLATION"]
+        np.testing.assert_allclose(np.array(c2._dfs),
+                                   np.array(curve._dfs), atol=0)
+        assert c2._interp_type_infl == InflationInterpTypes.COMPOUND
+        # the rebuilt index must carry fixings + seasonality
+        idx2 = c2._used_swaps[0]._inflation_index
+        assert idx2._seasonality_factors.get(1) == pytest.approx(1.002)
+        assert idx2._get_historical_index(Date(1, 10, 2023)) == \
+            pytest.approx(291.0)
         np.testing.assert_allclose(
             np.array(m2.curves["GBP_RPI_INFLATION"]._dfs),
             np.array(m.curves["GBP_RPI_INFLATION"]._dfs), atol=0)

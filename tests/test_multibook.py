@@ -1,0 +1,261 @@
+"""Multi-currency multi-curve book: parity against the per-trade engine
+and direct valuation, FD-validated deltas, per-trade ladders.
+
+Reference semantics being matched at book scale:
+/root/reference/cavour/market/position/engine.py:2639-2728 (dual-curve
+float legs), 1411-1988 (XCCY discounting), 700-984 (FRN), 505-698 (bond).
+"""
+
+import numpy as np
+import pytest
+
+from adrates_tpu.models import Model
+from adrates_tpu.parallel import (compile_multibook, make_multibook_fn,
+                                  make_per_trade_delta_fn, tile_multibook)
+from adrates_tpu.trades.credit import FRN, Bond
+from adrates_tpu.trades.rates import OIS, XccyBasisSwap
+from adrates_tpu.utils import (BusDayAdjustTypes, CurrencyTypes, CurveTypes,
+                               Date, DayCountTypes, FrequencyTypes,
+                               InterpTypes, RequestTypes, SwapTypes)
+
+VALUE_DT = Date(1, 1, 2024)
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = Model(VALUE_DT)
+    m.build_curve("USD_OIS_SOFR", px_list=[5.3, 5.0, 4.6, 4.0, 3.88],
+                  tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                  fixed_dcc_type=DayCountTypes.ACT_360,
+                  float_dc_type=DayCountTypes.ACT_360,
+                  interp_type=InterpTypes.FLAT_FWD_RATES)
+    m.build_curve("GBP_OIS_SONIA", px_list=[5.0, 4.7, 4.3, 3.9, 3.87],
+                  tenor_list=["6M", "1Y", "2Y", "5Y", "10Y"],
+                  fixed_dcc_type=DayCountTypes.ACT_365F,
+                  float_dc_type=DayCountTypes.ACT_365F,
+                  interp_type=InterpTypes.FLAT_FWD_RATES)
+    m.build_xccy_curve(name="GBP_USD_XCCY",
+                       domestic_curve_name="USD_OIS_SOFR",
+                       foreign_curve_name="GBP_OIS_SONIA",
+                       basis_spreads=[-5.0, -8.0, -11.0],
+                       tenor_list=["1Y", "5Y", "10Y"], spot_fx=1.27)
+    m.build_fx(["GBPUSD"], [1.27])
+    return m
+
+
+def _trades(model):
+    gbp_ois = OIS(VALUE_DT, "5Y", SwapTypes.RECEIVE, 0.039,
+                  FrequencyTypes.ANNUAL, DayCountTypes.ACT_365F,
+                  CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+                  notional=10_000_000,
+                  float_dc_type=DayCountTypes.ACT_365F,
+                  bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING)
+    usd_ois = OIS(VALUE_DT, "2Y", SwapTypes.PAY, 0.045,
+                  FrequencyTypes.QUARTERLY, DayCountTypes.ACT_360,
+                  CurveTypes.USD_OIS_SOFR, CurrencyTypes.USD,
+                  notional=15_000_000,
+                  float_dc_type=DayCountTypes.ACT_360,
+                  bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING)
+    xccy = XccyBasisSwap(
+        effective_dt=VALUE_DT, term_dt_or_tenor="5Y",
+        domestic_notional=12_700_000, foreign_notional=10_000_000,
+        domestic_spread=0.0, foreign_spread=-0.0008,
+        domestic_freq_type=FrequencyTypes.QUARTERLY,
+        foreign_freq_type=FrequencyTypes.QUARTERLY,
+        domestic_dc_type=DayCountTypes.ACT_360,
+        foreign_dc_type=DayCountTypes.ACT_365F,
+        domestic_floating_index=CurveTypes.USD_OIS_SOFR,
+        foreign_floating_index=CurveTypes.GBP_OIS_SONIA,
+        domestic_currency=CurrencyTypes.USD,
+        foreign_currency=CurrencyTypes.GBP)
+    frn_plain = FRN(VALUE_DT, "5Y", quoted_margin=0.0015,
+                    freq_type=FrequencyTypes.QUARTERLY,
+                    dc_type=DayCountTypes.ACT_365F,
+                    floating_index=CurveTypes.GBP_OIS_SONIA,
+                    currency=CurrencyTypes.GBP, face_value=5_000_000)
+    frn_capped = FRN(VALUE_DT, "5Y", quoted_margin=0.0015,
+                     freq_type=FrequencyTypes.QUARTERLY,
+                     dc_type=DayCountTypes.ACT_365F,
+                     floating_index=CurveTypes.GBP_OIS_SONIA,
+                     currency=CurrencyTypes.GBP, face_value=5_000_000,
+                     cap_rate=0.045, floor_rate=0.02)
+    bond = Bond(VALUE_DT, "7Y", coupon=0.04,
+                freq_type=FrequencyTypes.SEMI_ANNUAL,
+                dc_type=DayCountTypes.ACT_365F,
+                currency=CurrencyTypes.GBP, face_value=1_000_000)
+    return [gbp_ois, usd_ois, xccy, frn_plain, frn_capped, bond]
+
+
+def _direct_pvs_gbp(model, trades):
+    """Direct per-trade valuations converted to GBP."""
+    gbp = model.curves.GBP_OIS_SONIA
+    usd = model.curves.USD_OIS_SOFR
+    xccy = model.curves["GBP_USD_XCCY"]
+    usdgbp = 1.0 / 1.27
+    out = []
+    for t in trades:
+        it = t.derivative_type.name
+        if it == "OIS_SWAP":
+            curve = gbp if t._currency == CurrencyTypes.GBP else usd
+            fx = 1.0 if t._currency == CurrencyTypes.GBP else usdgbp
+            out.append(t.value(VALUE_DT, curve) * fx)
+        elif it == "XCCY_SWAP":
+            pv_usd = t.value(VALUE_DT, domestic_discount_curve=usd,
+                             foreign_discount_curve=gbp,
+                             xccy_discount_curve=xccy, spot_fx=1.27)
+            out.append(pv_usd * usdgbp)
+        elif it == "FRN":
+            out.append(t.value(VALUE_DT, gbp, gbp))
+        elif it == "BOND":
+            out.append(t.value(VALUE_DT, gbp))
+        else:
+            raise AssertionError(it)
+    return np.array(out)
+
+
+class TestMultiBookParity:
+    def test_pvs_match_direct(self, model):
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        fn = make_multibook_fn(mb, want_gamma=False)
+        shocks = np.zeros((1, mb.basket.n_quotes))
+        out = fn(mb.basket.quotes0, shocks)
+        pvs = np.asarray(out["pvs"])[0]
+        direct = _direct_pvs_gbp(model, trades)
+        np.testing.assert_allclose(pvs, direct, rtol=1e-10, atol=1e-6)
+
+    def test_aggregate_equals_sum(self, model):
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        fn = make_multibook_fn(mb, want_gamma=False)
+        import jax.numpy as jnp
+        from adrates_tpu.parallel import aggregate_total
+        import jax
+        dfs = mb.basket.grids(jnp.asarray(mb.basket.quotes0),
+                              jax.device_put(mb.basket.params))
+        total = float(aggregate_total(dfs, jax.device_put(mb.aggregate),
+                                      jax.device_put(mb.clamp)))
+        out = fn(mb.basket.quotes0, np.zeros((1, mb.basket.n_quotes)))
+        assert total == pytest.approx(float(np.sum(out["pvs"][0])),
+                                      rel=1e-12, abs=1e-6)
+
+    def test_pv_dom_parity(self, model):
+        """The in-graph domestic calibration-leg PVs must reproduce the
+        stored _pv_domestic (engine == direct contract at the basket
+        level) — the base-quote XCCY grid then matches the stored curve."""
+        import jax
+        import jax.numpy as jnp
+        mb = compile_multibook(_trades(model), model,
+                               base_currency=CurrencyTypes.GBP)
+        basket = mb.basket
+        native = basket.native_grids_fn()
+        grids = jax.jit(native)(jnp.asarray(basket.quotes0),
+                                jax.device_put(basket.params))
+        xid = basket.curve_id("GBP_USD_XCCY")
+        xcurve = basket.curves[xid]
+        np.testing.assert_allclose(np.asarray(grids[xid][1]),
+                                   np.asarray(xcurve._dfs),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_delta_vs_fd(self, model):
+        """Book delta (full recalibration view) == central FD of the book
+        PV under shocked quotes, for a rate pillar AND a basis pillar."""
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        fn = make_multibook_fn(mb, want_gamma=False)
+        q0 = np.asarray(mb.basket.quotes0)
+        N = q0.shape[0]
+        out = fn(q0, np.zeros((1, N)))
+        delta = np.asarray(out["delta"])[0]
+
+        h = 1e-6
+        sl_gbp = mb.basket.quote_slice("GBP_OIS_SONIA")
+        sl_x = mb.basket.quote_slice("GBP_USD_XCCY")
+        for j in [sl_gbp.start + 3, sl_x.start + 1,
+                  mb.basket.quote_slice("USD_OIS_SOFR").start + 2]:
+            sh = np.zeros((2, N))
+            sh[0, j] = h
+            sh[1, j] = -h
+            pv = np.asarray(fn(q0, sh)["pvs"]).sum(axis=1)
+            fd = (pv[0] - pv[1]) / (2 * h)
+            assert delta[j] == pytest.approx(fd, rel=5e-7, abs=1e-4)
+
+    def test_gamma_symmetry(self, model):
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        fn = make_multibook_fn(mb, want_gamma=True)
+        out = fn(mb.basket.quotes0,
+                 np.zeros((1, mb.basket.n_quotes)))
+        g = np.asarray(out["gamma"])[0]
+        np.testing.assert_allclose(g, g.T, rtol=1e-9, atol=1e-6)
+
+    def test_engine_view_deltas_match_per_trade_engine(self, model):
+        """With recalibrate_xccy=False the basket reproduces the per-trade
+        engine's risk views: a GBP-only OIS book's GBP ladder equals the
+        engine's delta ladder."""
+        gbp_only = [t for t in _trades(model)
+                    if t.derivative_type.name == "OIS_SWAP"
+                    and t._currency == CurrencyTypes.GBP]
+        mb = compile_multibook(gbp_only, model,
+                               base_currency=CurrencyTypes.GBP,
+                               recalibrate_xccy=False)
+        fn = make_multibook_fn(mb, want_gamma=False)
+        out = fn(mb.basket.quotes0,
+                 np.zeros((1, mb.basket.n_quotes)))
+        sl = mb.basket.quote_slice("GBP_OIS_SONIA")
+        book_ladder = np.asarray(out["delta"])[0][sl] * 1e-4
+
+        res = gbp_only[0].position(model).compute([RequestTypes.DELTA])
+        np.testing.assert_allclose(book_ladder, res.risk.risk_ladder,
+                                   rtol=1e-9, atol=1e-8)
+
+
+class TestPerTradeDelta:
+    def test_rows_sum_to_book_delta(self, model):
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        per_trade = make_per_trade_delta_fn(mb, chunk=4)
+        lad = np.asarray(per_trade(mb.basket.quotes0))
+        assert lad.shape == (len(trades), mb.basket.n_quotes)
+
+        fn = make_multibook_fn(mb, want_gamma=False)
+        out = fn(mb.basket.quotes0,
+                 np.zeros((1, mb.basket.n_quotes)))
+        np.testing.assert_allclose(lad.sum(axis=0),
+                                   np.asarray(out["delta"])[0],
+                                   rtol=1e-9, atol=1e-6)
+
+    def test_single_trade_ladder_matches_engine(self, model):
+        gbp_only = [t for t in _trades(model)
+                    if t.derivative_type.name == "OIS_SWAP"
+                    and t._currency == CurrencyTypes.GBP]
+        mb = compile_multibook(gbp_only, model,
+                               base_currency=CurrencyTypes.GBP,
+                               recalibrate_xccy=False)
+        per_trade = make_per_trade_delta_fn(mb, chunk=2)
+        lad = np.asarray(per_trade(mb.basket.quotes0))
+        sl = mb.basket.quote_slice("GBP_OIS_SONIA")
+        res = gbp_only[0].position(model).compute([RequestTypes.DELTA])
+        np.testing.assert_allclose(lad[0][sl] * 1e-4,
+                                   res.risk.risk_ladder,
+                                   rtol=1e-9, atol=1e-8)
+
+
+class TestTileMultibook:
+    def test_tiled_pvs(self, model):
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        scale = np.array([1.0, 2.0, 0.5])
+        mb3 = tile_multibook(mb, 3, notional_scale=scale)
+        fn = make_multibook_fn(mb3, want_gamma=False)
+        out = fn(mb3.basket.quotes0,
+                 np.zeros((1, mb3.basket.n_quotes)))
+        pvs = np.asarray(out["pvs"])[0].reshape(3, len(trades))
+        np.testing.assert_allclose(pvs[1], 2.0 * pvs[0], rtol=1e-12)
+        np.testing.assert_allclose(pvs[2], 0.5 * pvs[0], rtol=1e-12)
