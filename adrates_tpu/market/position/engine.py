@@ -54,8 +54,15 @@ class Engine:
 
     def compute(self, derivative, reqs, collateral_type=None
                 ) -> AnalyticsResult:
+        from ...utils.observability import timed
         reqs = set(reqs)
         dtype = derivative.derivative_type
+        with timed("engine.compute", instrument=dtype.name,
+                   reqs=len(reqs)):
+            return self._compute(derivative, reqs, collateral_type, dtype)
+
+    def _compute(self, derivative, reqs, collateral_type, dtype
+                 ) -> AnalyticsResult:
         if dtype == InstrumentTypes.OIS_SWAP:
             return self._compute_ois(derivative, reqs, collateral_type)
         if dtype == InstrumentTypes.XCCY_SWAP:

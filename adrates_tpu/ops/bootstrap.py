@@ -190,41 +190,46 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     gather_idx = prev_idx.clip(0)
     depth = max(plan.depth, 1)
 
-    # pv01 solves the LINEAR triangular fixed point
-    #     pv01 = A pv01 + b,  A x = gather(x)/denom,  b = accs/denom,
-    # exact after K = depth whole-vector sweeps. Differentiate via the
-    # implicit function theorem (lax.custom_root) instead of unrolling AD
-    # through the K sweeps: tangents/cotangents satisfy the SAME
-    # triangular system, so the derivative is ONE K-sweep linear solve
-    # per direction with no stored iteration residuals — jacfwd∘jacrev
-    # gamma towers stay O(depth) (SURVEY §7.3's IFT adjoint).
+    # pv01 solves the LINEAR triangular system (I - A) pv01 = b with
+    #     A x = gather(x)/denom,  b = accs/denom,
+    # exact after K = depth whole-vector sweeps (triangular: chains are
+    # strictly backward). Differentiation goes through
+    # lax.custom_linear_solve — the IFT adjoint done right for EVERY
+    # order: each jvp/vjp level is ONE extra K-sweep scan solve (forward
+    # or transposed), so jacfwd∘jacrev gamma towers stay O(depth) in both
+    # runtime AND program size. (The previous custom_root formulation
+    # needed an UNROLLED depth-step tangent solve for transposability —
+    # under a 168-quote jacfwd∘jacrev across 10 curves that unrolling
+    # exploded XLA compile time past 30 minutes.)
     def A(x):
         return jnp.where(has_prev, x[gather_idx], 0.0) / denom
 
+    def A_t(y):
+        # transpose of A: scatter-add of y/denom onto each prev slot
+        contrib = jnp.where(has_prev, y / denom, 0.0)
+        return jnp.zeros_like(y).at[gather_idx].add(
+            jnp.where(has_prev, contrib, 0.0))
+
     b = accs / denom
 
-    def f(x):
-        return x - (A(x) + b)
+    def matvec(x):
+        return x - A(x)
 
-    def solve(_, x0):
-        def sweep(x, _):
-            return A(x) + b, None
-        x, _ = lax.scan(sweep, jnp.zeros_like(x0), None, length=depth)
+    def solve(_, b_):
+        def sweep(x, __):
+            return A(x) + b_, None
+        x, __ = lax.scan(sweep, jnp.zeros_like(b_), None, length=depth)
         return x
 
-    def tangent_solve(g, y):
-        # g is the linearization of f at the root: g(x) = x - A x.
-        # Solve g(x) = y by the same sweeps: x <- y + A x = y + x - g(x).
-        # Unrolled Python loop (depth is static): lax.scan closing over y
-        # breaks the automatic transposition custom_root needs for
-        # reverse mode.
-        x = jnp.zeros_like(y)
-        for _ in range(depth):
-            x = y + x - g(x)
+    def transpose_solve(_, y):
+        # (I - A)^T x = y  =>  x = A^T x + y, same K sweeps
+        def sweep(x, __):
+            return A_t(x) + y, None
+        x, __ = lax.scan(sweep, jnp.zeros_like(y), None, length=depth)
         return x
 
-    pv01 = lax.custom_root(f, jnp.zeros_like(point_rates), solve,
-                           tangent_solve)
+    pv01 = lax.custom_linear_solve(matvec, b, solve,
+                                   transpose_solve=transpose_solve)
 
     prev_pv01 = jnp.where(has_prev, pv01[gather_idx], 0.0)
     dfs = (1.0 - point_rates * prev_pv01) / denom

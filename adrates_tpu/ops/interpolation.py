@@ -217,6 +217,11 @@ def simple_df(t, times, dfs, interp_type: InterpTypes):
     tt_adj = tt + eps
     if interp_type == InterpTypes.LINEAR_ZERO_RATES:
         r = -jnp.log(d) / jnp.maximum(x, 1e-15)
+        # t=0 node (df=1) carries no rate information: patch its zero to
+        # the first pillar's so sub-first-pillar queries extrapolate flat
+        # instead of sloping toward r=0 (parity: the reference AD stack's
+        # patch, interpolator_ad.py:167-170, and _zero_rates above).
+        r = r.at[0].set(jnp.where(x[0] == 0.0, r[1], r[0]))
         interp_val = jnp.exp(-jnp.interp(tt_adj, x, r) * tt)
     elif interp_type == InterpTypes.FLAT_FWD_RATES:
         rt = -jnp.log(d)

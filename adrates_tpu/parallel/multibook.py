@@ -565,15 +565,20 @@ def compile_multibook(instruments, model,
     Returns a MultiBook whose rows gather from the flat [C*U] DF vector
     produced by ``basket.grids_fn``; all PVs are in ``base_currency``.
     """
+    from ..utils.observability import timed
+
     basket = CurveBasket(model, curve_names,
                          recalibrate_xccy=recalibrate_xccy)
     value_dt = model.value_dt
 
     clamp_rows: list = []
     rows: list = []
-    for t_id, inst in enumerate(instruments):
-        rows += _rows_for_instrument(inst, model, basket, base_currency,
-                                     value_dt, t_id, clamp_rows)
+    with timed("multibook.compile", trades=len(instruments),
+               curves=basket.n_curves):
+        for t_id, inst in enumerate(instruments):
+            rows += _rows_for_instrument(inst, model, basket,
+                                         base_currency, value_dt, t_id,
+                                         clamp_rows)
 
     intern = _Interner()
     intern.add(0.0)
@@ -876,7 +881,12 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
                 out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
             return out
 
-        out = jax.vmap(one_scenario)(shocks)
+        # Stream the risk pass scenario-by-scenario (lax.map, not vmap):
+        # the N-direction jacfwd tangents through the whole curve graph
+        # exist for ONE scenario at a time — vmapping them across 100
+        # scenarios materializes [S, N, C*U] temporaries per fused op and
+        # blows past HBM on a 16 GB chip.
+        out = lax.map(one_scenario, shocks)
         out["pvs"] = pvs
         return out
 

@@ -39,30 +39,35 @@ class OISCurve(DiscountCurve):
                  ois_swaps: list,
                  interp_type: InterpTypes = InterpTypes.FLAT_FWD_RATES,
                  check_refit: bool = False):
+        from ...utils.observability import timed
+
         self._value_dt = value_dt
         self._used_swaps = ois_swaps
         self._interp_type = interp_type
         self._check_refit = check_refit
 
-        self._prepare_curve_builder_inputs()
-        self._plan = prepare_ois_plan(
-            self.swap_times, self.year_fracs,
-            loglinear_rates=all(r > 0 for r in self.swap_rates))
+        with timed("curve.build.ois", pillars=len(ois_swaps),
+                   interp=interp_type.name):
+            self._prepare_curve_builder_inputs()
+            self._plan = prepare_ois_plan(
+                self.swap_times, self.year_fracs,
+                loglinear_rates=all(r > 0 for r in self.swap_rates))
 
-        # jit the constructor bootstrap: eager lax ops each pay a remote
-        # dispatch/compile through the TPU tunnel. The plan is a jit
-        # ARGUMENT — f64 closure constants run at f32 in fused TPU ops
-        # (docs/tpu_f64_notes.md).
-        times, dfs = jax.jit(bootstrap_ois)(
-            jnp.asarray(self.swap_rates), self._plan)
-        self._times = times
-        self._dfs = dfs
-        self._repr_dfs = dfs[jnp.asarray(self._plan.pillar_point) + 1]
-        self._freq_type = FrequencyTypes.CONTINUOUS
-        self._refresh_interpolator()
+            # jit the constructor bootstrap: eager lax ops each pay a
+            # remote dispatch/compile through the TPU tunnel. The plan is
+            # a jit ARGUMENT — f64 closure constants run at f32 in fused
+            # TPU ops (docs/tpu_f64_notes.md).
+            times, dfs = jax.jit(bootstrap_ois)(
+                jnp.asarray(self.swap_rates), self._plan)
+            self._times = times
+            self._dfs = dfs
+            self._repr_dfs = dfs[jnp.asarray(self._plan.pillar_point) + 1]
+            self._freq_type = FrequencyTypes.CONTINUOUS
+            self._refresh_interpolator()
 
-        if check_refit:
-            self._check_refits(SWAP_TOL)
+            if check_refit:
+                with timed("curve.refit.ois", pillars=len(ois_swaps)):
+                    self._check_refits(SWAP_TOL)
 
     # ------------------------------------------------------------------
 

@@ -59,28 +59,34 @@ class XccyCurve(DiscountCurve):
         self._dc_type = DayCountTypes.ACT_365F
         self._freq_type = FrequencyTypes.CONTINUOUS
 
+        from ...utils.observability import timed
+
         self.basis_spreads = [s._foreign_spread for s in self._used_swaps]
         self.swap_times = [(s._maturity_dt - value_dt) / gDaysInYear
                            for s in self._used_swaps]
 
-        self._plan = self._prepare_plan()
-        self._pv_domestic = self._domestic_leg_pvs()
+        with timed("curve.build.xccy", pillars=len(basis_swaps),
+                   interp=interp_type.name):
+            self._plan = self._prepare_plan()
+            self._pv_domestic = self._domestic_leg_pvs()
 
-        times, dfs = bootstrap_xccy(
-            jnp.asarray(self.basis_spreads), jnp.asarray(self._pv_domestic),
-            jnp.asarray(self._foreign_curve._times),
-            jnp.asarray(self._foreign_curve._dfs),
-            self._spot_fx, self._plan,
-            foreign_interp_type=self._foreign_curve._interp_type)
-        self._times = times
-        self._dfs = dfs
-        self._repr_dfs = dfs
-        self._refresh_interpolator()
+            times, dfs = bootstrap_xccy(
+                jnp.asarray(self.basis_spreads),
+                jnp.asarray(self._pv_domestic),
+                jnp.asarray(self._foreign_curve._times),
+                jnp.asarray(self._foreign_curve._dfs),
+                self._spot_fx, self._plan,
+                foreign_interp_type=self._foreign_curve._interp_type)
+            self._times = times
+            self._dfs = dfs
+            self._repr_dfs = dfs
+            self._refresh_interpolator()
 
-        self._compute_jacobians()
+            self._compute_jacobians()
 
-        if check_refit:
-            self._check_refits(SWAP_TOL)
+            if check_refit:
+                with timed("curve.refit.xccy", pillars=len(basis_swaps)):
+                    self._check_refits(SWAP_TOL)
 
     # ------------------------------------------------------------------
 

@@ -26,3 +26,4 @@ from .helpers import (times_from_dates, to_tenor, convert_sensitivities,
                       dot_product, check_vector_differences, _func_name)
 
 ONE_MILLION = 1_000_000
+from .observability import configure as configure_logging, metrics, timed

@@ -1,15 +1,20 @@
-"""Benchmark: book-scale PV + delta + gamma throughput on one chip.
+"""Benchmark: multi-currency book PV + delta + gamma throughput, one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: trades/sec for full PV + book delta ladder + NxN gamma
-across a scenario grid on a 100k-swap book (BASELINE.json primary metric).
-Baseline: the reference prices ONE swap's PV+delta+gamma in ~40ms on CPU
-(README.md:464-466), i.e. ~25 trades/sec.
+Headline metric (BASELINE.md flagship config): bootstrap 10 curves across
+7 currencies (7 OIS + 3 XCCY), revalue a 100k-trade MIXED book
+(OIS + XCCY basis swaps + FRNs incl. capped + bonds, mixed day counts/
+frequencies/pay lags/directions, seasoned and forward-starting trades)
+x 100 scenarios with the full cross-curve delta ladder and NxN gamma
+(N = every quote on every curve) per scenario.
 
-Secondary numbers (stderr): 32-pillar bootstrap wall-clock, single-swap
-delta/gamma latency, and the 100k x 100-scenario book wall-clock.
+Baseline: the reference prices ONE swap's PV+delta+gamma in ~40 ms on CPU
+(README.md:464-466), i.e. ~25 trade-scenarios/sec.
+
+Secondary numbers (stderr): warm bootstrap, warm single-request latency,
+book sweep wall-clock, per-trade-ladder cost.
 """
 
 import json
@@ -23,11 +28,172 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+MAIN_TENORS = ["1M", "2M", "3M", "4M", "5M", "6M", "7M", "8M", "9M", "10M",
+               "11M", "1Y", "18M", "2Y", "3Y", "4Y", "5Y", "6Y", "7Y", "8Y",
+               "9Y", "10Y", "12Y", "15Y", "20Y", "25Y", "30Y", "35Y", "40Y",
+               "45Y", "50Y", "60Y"]
+MAIN_RATES = [5.19, 5.17, 5.15, 5.12, 5.09, 5.04, 4.98, 4.92, 4.87, 4.81,
+              4.76, 4.71, 4.51, 4.35, 4.13, 4.00, 3.93, 3.89, 3.87, 3.86,
+              3.86, 3.87, 3.89, 3.91, 3.88, 3.80, 3.71, 3.61, 3.51, 3.42,
+              3.33, 3.21]
+SMALL_TENORS = ["3M", "6M", "1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "15Y",
+                "20Y", "30Y", "40Y"]
+XCCY_TENORS = ["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"]
+
+
+def build_model():
+    from adrates_tpu.utils import Date, DayCountTypes, InterpTypes
+    from adrates_tpu.models import Model
+
+    value_dt = Date(1, 1, 2024)
+    m = Model(value_dt)
+
+    def shifted(rates, d):
+        return [r + d for r in rates]
+
+    small = [MAIN_RATES[MAIN_TENORS.index(t)] for t in SMALL_TENORS]
+    m.build_curve("GBP_OIS_SONIA", px_list=MAIN_RATES,
+                  tenor_list=MAIN_TENORS,
+                  fixed_dcc_type=DayCountTypes.ACT_365F,
+                  float_dc_type=DayCountTypes.ACT_365F,
+                  interp_type=InterpTypes.FLAT_FWD_RATES)
+    m.build_curve("USD_OIS_SOFR", px_list=shifted(MAIN_RATES, 0.35),
+                  tenor_list=MAIN_TENORS,
+                  fixed_dcc_type=DayCountTypes.ACT_360,
+                  float_dc_type=DayCountTypes.ACT_360,
+                  interp_type=InterpTypes.FLAT_FWD_RATES)
+    m.build_curve("EUR_OIS_ESTR", px_list=shifted(MAIN_RATES, -1.2),
+                  tenor_list=MAIN_TENORS,
+                  fixed_dcc_type=DayCountTypes.ACT_360,
+                  float_dc_type=DayCountTypes.ACT_360,
+                  interp_type=InterpTypes.FLAT_FWD_RATES)
+    for name, d, dc in [("JPY_OIS_TONAR", -3.2, DayCountTypes.ACT_365F),
+                        ("CHF_OIS_SARON", -2.5, DayCountTypes.ACT_360),
+                        ("AUD_OIS_AONIA", 0.1, DayCountTypes.ACT_365F),
+                        ("CAD_OIS_CORRA", 0.6, DayCountTypes.ACT_365F)]:
+        m.build_curve(name, px_list=shifted(small, d),
+                      tenor_list=SMALL_TENORS,
+                      fixed_dcc_type=dc, float_dc_type=dc,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+
+    m.build_fx(["GBPUSD", "EURUSD", "JPYUSD", "CHFUSD", "AUDUSD",
+                "CADUSD"],
+               [1.27, 1.09, 0.0069, 1.13, 0.66, 0.74])
+
+    for name, dom, forn, fx, spr in [
+            ("GBP_USD_XCCY", "USD_OIS_SOFR", "GBP_OIS_SONIA", 1.27, -8.0),
+            ("EUR_USD_XCCY", "USD_OIS_SOFR", "EUR_OIS_ESTR", 1.09, -18.0),
+            ("JPY_USD_XCCY", "USD_OIS_SOFR", "JPY_OIS_TONAR", 0.0069,
+             -40.0)]:
+        m.build_xccy_curve(
+            name=name, domestic_curve_name=dom, foreign_curve_name=forn,
+            basis_spreads=[spr + 0.5 * i for i in range(len(XCCY_TENORS))],
+            tenor_list=XCCY_TENORS, spot_fx=fx)
+    return m
+
+
+def build_base_trades(model, rng):
+    """~200 base trades stressing convention diversity: mixed day counts,
+    frequencies, pay lags, PAY/RECEIVE, seasoned + forward starts, capped
+    FRNs, cross-currency basis swaps, bonds."""
+    from adrates_tpu.utils import (BusDayAdjustTypes, CurrencyTypes,
+                                   CurveTypes, Date, DayCountTypes,
+                                   FrequencyTypes, SwapTypes)
+    from adrates_tpu.trades.credit import FRN, Bond
+    from adrates_tpu.trades.rates import OIS, XccyBasisSwap
+
+    value_dt = model.value_dt
+    trades = []
+
+    ois_defs = [  # (index, ccy, fixed dc, float dc)
+        (CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+         DayCountTypes.ACT_365F, DayCountTypes.ACT_365F),
+        (CurveTypes.USD_OIS_SOFR, CurrencyTypes.USD,
+         DayCountTypes.ACT_360, DayCountTypes.ACT_360),
+        (CurveTypes.EUR_OIS_ESTR, CurrencyTypes.EUR,
+         DayCountTypes.THIRTY_E_360, DayCountTypes.ACT_360),
+        (CurveTypes.JPY_OIS_TONAR, CurrencyTypes.JPY,
+         DayCountTypes.ACT_365F, DayCountTypes.ACT_365F),
+        (CurveTypes.AUD_OIS_AONIA, CurrencyTypes.AUD,
+         DayCountTypes.ACT_365F, DayCountTypes.ACT_365F),
+        (CurveTypes.CAD_OIS_CORRA, CurrencyTypes.CAD,
+         DayCountTypes.ACT_365F, DayCountTypes.ACT_365F),
+    ]
+    tenors = ["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "15Y", "20Y", "30Y",
+              "50Y"]
+    freqs = [FrequencyTypes.ANNUAL, FrequencyTypes.SEMI_ANNUAL,
+             FrequencyTypes.QUARTERLY]
+    starts = [value_dt, value_dt.add_months(-18), value_dt.add_tenor("6M")]
+
+    i = 0
+    for idx, ccy, fdc, ldc in ois_defs:
+        for ten in tenors:
+            for k in range(2):  # 120 OIS
+                start = starts[i % len(starts)]
+                trades.append(OIS(
+                    start, ten,
+                    SwapTypes.PAY if i % 2 else SwapTypes.RECEIVE,
+                    float(rng.uniform(0.01, 0.06)),
+                    freqs[i % len(freqs)], fdc, idx, ccy,
+                    notional=float(rng.uniform(1e6, 2e7)),
+                    float_dc_type=ldc,
+                    payment_lag=(2 if i % 5 == 0 else 0),
+                    bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING))
+                i += 1
+
+    frn_defs = [(CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+                 DayCountTypes.ACT_365F),
+                (CurveTypes.USD_OIS_SOFR, CurrencyTypes.USD,
+                 DayCountTypes.ACT_360)]
+    for idx, ccy, dc in frn_defs:
+        for j, ten in enumerate(["2Y", "5Y", "7Y", "10Y", "15Y"]):
+            for capped in (False, True):  # 20 FRNs
+                kwargs = dict(cap_rate=0.055, floor_rate=0.015) if capped \
+                    else {}
+                trades.append(FRN(
+                    value_dt, ten,
+                    quoted_margin=float(rng.uniform(0.0005, 0.004)),
+                    freq_type=freqs[j % len(freqs)], dc_type=dc,
+                    floating_index=idx, currency=ccy,
+                    face_value=float(rng.uniform(1e6, 1e7)), **kwargs))
+
+    for dom, forn, dom_ccy, for_ccy, fx in [
+            (CurveTypes.USD_OIS_SOFR, CurveTypes.GBP_OIS_SONIA,
+             CurrencyTypes.USD, CurrencyTypes.GBP, 1.27),
+            (CurveTypes.USD_OIS_SOFR, CurveTypes.EUR_OIS_ESTR,
+             CurrencyTypes.USD, CurrencyTypes.EUR, 1.09),
+            (CurveTypes.USD_OIS_SOFR, CurveTypes.JPY_OIS_TONAR,
+             CurrencyTypes.USD, CurrencyTypes.JPY, 0.0069)]:
+        for ten in ["2Y", "5Y", "10Y", "20Y", "30Y"]:  # 15 XCCY
+            dn = float(rng.uniform(5e6, 5e7))
+            trades.append(XccyBasisSwap(
+                effective_dt=value_dt, term_dt_or_tenor=ten,
+                domestic_notional=dn, foreign_notional=dn / fx,
+                domestic_spread=0.0,
+                foreign_spread=float(rng.uniform(-0.002, 0.0)),
+                domestic_freq_type=FrequencyTypes.QUARTERLY,
+                foreign_freq_type=FrequencyTypes.QUARTERLY,
+                domestic_dc_type=DayCountTypes.ACT_360,
+                foreign_dc_type=DayCountTypes.ACT_365F,
+                domestic_floating_index=dom, foreign_floating_index=forn,
+                domestic_currency=dom_ccy, foreign_currency=for_ccy))
+
+    for ccy, dc in [(CurrencyTypes.GBP, DayCountTypes.ACT_365F),
+                    (CurrencyTypes.USD, DayCountTypes.THIRTY_360_BOND),
+                    (CurrencyTypes.EUR, DayCountTypes.ACT_360)]:
+        for j, ten in enumerate(["2Y", "5Y", "7Y", "10Y", "30Y"]):  # 15
+            trades.append(Bond(
+                value_dt, ten, coupon=float(rng.uniform(0.01, 0.06)),
+                freq_type=FrequencyTypes.SEMI_ANNUAL
+                if j % 2 else FrequencyTypes.ANNUAL,
+                dc_type=dc, currency=ccy,
+                face_value=float(rng.uniform(1e6, 1e7))))
+    return trades
+
+
 def main():
     import jax
 
-    # Persistent compilation cache: cold-start bench runs reuse previously
-    # compiled executables across processes.
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/adrates_jax_cache")
@@ -37,42 +203,27 @@ def main():
 
     import jax.numpy as jnp
 
-    from adrates_tpu.utils import (BusDayAdjustTypes, CurrencyTypes,
-                                   CurveTypes, Date, DayCountTypes,
-                                   FrequencyTypes, RequestTypes, SwapTypes)
-    from adrates_tpu.models import Model
-    from adrates_tpu.parallel import (aggregate_book, compile_book,
-                                      compile_book_buckets,
-                                      make_book_fn, make_bucketed_book_fn,
-                                      merge_aggregates, tile_book)
+    from adrates_tpu.utils import (CurrencyTypes, CurveTypes,
+                                   DayCountTypes, FrequencyTypes,
+                                   RequestTypes, SwapTypes,
+                                   BusDayAdjustTypes)
+    from adrates_tpu.parallel import (compile_multibook,
+                                      make_multibook_fn,
+                                      make_per_trade_delta_fn,
+                                      tile_multibook)
     from adrates_tpu.trades.rates import OIS
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    rng = np.random.default_rng(7)
 
-    value_dt = Date(1, 1, 2024)
-    tenors = ["1M", "2M", "3M", "4M", "5M", "6M", "7M", "8M", "9M", "10M",
-              "11M", "1Y", "18M", "2Y", "3Y", "4Y", "5Y", "6Y", "7Y", "8Y",
-              "9Y", "10Y", "12Y", "15Y", "20Y", "25Y", "30Y", "35Y", "40Y",
-              "45Y", "50Y", "60Y"]
-    rates = [5.19, 5.17, 5.15, 5.12, 5.09, 5.04, 4.98, 4.92, 4.87, 4.81,
-             4.76, 4.71, 4.51, 4.35, 4.13, 4.00, 3.93, 3.89, 3.87, 3.86,
-             3.86, 3.87, 3.89, 3.91, 3.88, 3.80, 3.71, 3.61, 3.51, 3.42,
-             3.33, 3.21]
-
-    # --- config 1: 32-pillar bootstrap (includes trade compilation) -----
+    # --- config 1: build 10 curves (7 OIS + 3 XCCY) ---------------------
     t0 = time.perf_counter()
-    model = Model(value_dt)
-    model.build_curve("GBP_OIS_SONIA", px_list=rates, tenor_list=tenors,
-                      fixed_dcc_type=DayCountTypes.ACT_365F,
-                      float_dc_type=DayCountTypes.ACT_365F)
-    curve = model.curves.GBP_OIS_SONIA
-    log(f"bootstrap 32-pillar (cold, incl. compile+refit): "
+    model = build_model()
+    log(f"build 10 curves / 7 currencies (cold, incl. compile+refit): "
         f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
 
-    # warm re-bootstrap (the scenario path)
+    curve = model.curves.GBP_OIS_SONIA
     from adrates_tpu.ops.bootstrap import bootstrap_ois
-    # plan as a jit argument (f64 closure constants run at f32 on TPU);
-    # device_put once so the loop doesn't re-transfer it
     reboot = jax.jit(bootstrap_ois)
     plan_dev = jax.device_put(curve._plan)
     r_jnp = jnp.asarray(curve.swap_rates)
@@ -81,12 +232,12 @@ def main():
     for _ in range(100):
         out = reboot(r_jnp, plan_dev)
     out[1].block_until_ready()
-    boot_ms = (time.perf_counter() - t0) / 100 * 1e3
-    log(f"bootstrap 32-pillar (warm, jitted): {boot_ms:.3f} ms "
+    log(f"bootstrap 32-pillar (warm, jitted): "
+        f"{(time.perf_counter() - t0) / 100 * 1e3:.3f} ms "
         f"(reference ~50 ms)")
 
-    # --- config 2: single 10Y swap PV+delta+gamma -----------------------
-    swap = OIS(value_dt, "10Y", SwapTypes.RECEIVE, 0.0387,
+    # --- config 2: single 10Y swap PV+delta+gamma (warm latency) --------
+    swap = OIS(model.value_dt, "10Y", SwapTypes.RECEIVE, 0.0387,
                FrequencyTypes.ANNUAL, DayCountTypes.ACT_365F,
                CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
                notional=10_000_000, float_dc_type=DayCountTypes.ACT_365F,
@@ -97,68 +248,62 @@ def main():
     t0 = time.perf_counter()
     n_rep = 20
     for _ in range(n_rep):
-        res = pos.compute(reqs)
-    single_ms = (time.perf_counter() - t0) / n_rep * 1e3
-    log(f"10Y swap PV+delta+gamma (warm): {single_ms:.2f} ms "
+        pos.compute(reqs)
+    log(f"10Y swap PV+delta+gamma (warm): "
+        f"{(time.perf_counter() - t0) / n_rep * 1e3:.2f} ms "
         f"(reference ~40 ms delta+gamma)")
 
-    # --- config 3: 100k-trade book x scenarios --------------------------
-    rng = np.random.default_rng(7)
-    base_swaps = []
-    base_tenors = ["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "15Y", "20Y",
-                   "30Y", "50Y"]
-    for i, ten in enumerate(base_tenors * 10):  # 100 base schedules
-        base_swaps.append(OIS(
-            value_dt, ten,
-            SwapTypes.PAY if i % 2 else SwapTypes.RECEIVE,
-            float(rng.uniform(0.02, 0.05)), FrequencyTypes.ANNUAL,
-            DayCountTypes.ACT_365F, CurveTypes.GBP_OIS_SONIA,
-            CurrencyTypes.GBP, notional=float(rng.uniform(1e6, 2e7)),
-            float_dc_type=DayCountTypes.ACT_365F,
-            bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING))
+    # --- config 3: 100k mixed multi-currency book x 100 scenarios -------
     t0 = time.perf_counter()
-    # pad-size buckets: mixing 1Y..50Y trades in one [B, 50] tensor wastes
-    # most of the (HBM-bound) gather sweep on dead padded slots
-    base_books, _ = compile_book_buckets(base_swaps, value_dt, n_buckets=4)
-    n_trades = 100_000
-    n_copies = n_trades // len(base_swaps)
-    cs = rng.uniform(0.8, 1.2, n_copies)
-    ns = rng.uniform(0.5, 2.0, n_copies)
-    books = [tile_book(b, n_copies, coupon_scale=cs, notional_scale=ns)
-             for b in base_books]
-    n_total = sum(b.num_trades for b in books)
-    log(f"book compile+tile to {n_total} trades: "
-        f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
-        f"(unique times: {books[0].unique_times.shape[0]}, "
-        f"bucket pads: {[b.fix_idx.shape[1] for b in books]})")
+    base_trades = build_base_trades(model, rng)
+    mb_base = compile_multibook(base_trades, model,
+                                base_currency=CurrencyTypes.USD,
+                                n_buckets=4)
+    n_base = len(base_trades)
+    n_copies = -(-100_000 // n_base)
+    mb = tile_multibook(mb_base, n_copies,
+                        notional_scale=rng.uniform(0.5, 2.0, n_copies))
+    n_total = mb.n_trades
+    N = mb.basket.n_quotes
+    log(f"compile {n_base} base trades -> tile to {n_total} "
+        f"({(time.perf_counter() - t0) * 1e3:.0f} ms, "
+        f"unique times {mb.unique_times.shape[0]}, quotes {N}, "
+        f"bucket pads {[b.fix_idx.shape[1] for b in mb.buckets]}, "
+        f"clamp slots "
+        f"{0 if mb.clamp is None else mb.clamp.w.shape[0]})")
 
     n_scen = 100
-    shocks = jnp.asarray(rng.normal(0.0, 1e-3,
-                                    (n_scen, len(rates))))
+    shocks = jnp.asarray(rng.normal(0.0, 1e-3, (n_scen, N)))
+    q0 = jnp.asarray(mb.basket.quotes0)
 
-    agg = merge_aggregates([aggregate_book(b) for b in books])
-    fn = make_bucketed_book_fn(curve._plan, curve._interp_type,
-                               want_gamma=True)
-    out = fn(r_jnp, books, agg, shocks[:1])  # compile with S=1
-    jax.block_until_ready(out)
-    fn_full = fn(r_jnp, books, agg, shocks)  # compile with S=100
-    jax.block_until_ready(fn_full)
+    fn = make_multibook_fn(mb, want_gamma=True)
+    jax.block_until_ready(fn(q0, shocks[:1]))
+    jax.block_until_ready(fn(q0, shocks))
     t0 = time.perf_counter()
-    out = fn(r_jnp, books, agg, shocks)
+    out = fn(q0, shocks)
     jax.block_until_ready(out)
     book_s = time.perf_counter() - t0
     trades_per_sec = n_total * n_scen / book_s
-    log(f"100k-trade book x {n_scen} scenarios "
-        f"(PV + delta ladder + 32x32 gamma each): {book_s * 1e3:.0f} ms "
-        f"-> {trades_per_sec:,.0f} trade-scenarios/sec")
+    log(f"100k mixed multi-ccy book x {n_scen} scenarios "
+        f"(PV + {N}-pt cross-curve delta + {N}x{N} gamma each): "
+        f"{book_s * 1e3:.0f} ms -> {trades_per_sec:,.0f} "
+        f"trade-scenarios/sec")
 
-    # Reference rate: ~40ms per swap PV+delta+gamma => 25 trades/sec.
+    # --- config 4: per-trade delta ladders (single scenario) ------------
+    per_trade = make_per_trade_delta_fn(mb, chunk=4096)
+    jax.block_until_ready(per_trade(q0))
+    t0 = time.perf_counter()
+    lad = per_trade(q0)
+    jax.block_until_ready(lad)
+    log(f"per-trade delta ladders [{n_total} x {N}]: "
+        f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
+
     baseline_trades_per_sec = 25.0
     result = {
         "metric": "book_pv_delta_gamma_trades_per_sec",
         "value": round(trades_per_sec, 1),
-        "unit": "trade-scenarios/sec (100k swaps x 100 scenarios, "
-                "PV + 32-tenor delta + 32x32 gamma)",
+        "unit": f"trade-scenarios/sec (100k mixed multi-ccy book x "
+                f"{n_scen} scenarios, PV + {N}-pt delta + {N}x{N} gamma)",
         "vs_baseline": round(trades_per_sec / baseline_trades_per_sec, 1),
     }
     print(json.dumps(result), flush=True)

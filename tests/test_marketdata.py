@@ -294,7 +294,8 @@ class TestModelSerialization:
                       fixed_dcc_type=DayCountTypes.ACT_365F,
                       float_dc_type=DayCountTypes.ACT_365F,
                       interp_type=InterpTypes.FLAT_FWD_RATES)
-        seas = {1: 1.002, 7: 0.998}
+        seas = {m: 1.0 for m in range(1, 13)}
+        seas[1], seas[7] = 1.002, 0.998
         fixings = [(Date(1, 10, 2023), 291.0), (Date(1, 11, 2023), 292.1)]
         curve, index = m.build_inflation_curve(
             "GBP_RPI_INFLATION", breakeven_list=[3.6, 3.4],

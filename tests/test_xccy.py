@@ -201,7 +201,7 @@ class TestXccyRisk:
     def test_three_delta_ladders(self, result):
         assert result.risk(CurveTypes.USD_OIS_SOFR) is not None
         assert result.risk(CurveTypes.GBP_OIS_SONIA) is not None
-        assert result.risk(CurveTypes.USD_GBP_BASIS) is not None
+        assert result.risk(CurveTypes.GBP_USD_BASIS) is not None
 
     def test_domestic_float_leg_near_zero_delta(self, result):
         """A par-projected domestic float leg w/ exchanges has ~no rate
@@ -231,7 +231,7 @@ class TestXccyRisk:
                           model.curves.GBP_OIS_SONIA,
                           xccy_discount_curve=xc_up, spot_fx=SPOT_FX)
         fd = (v_up - base_v) / 0.1
-        ad = float(result.risk(CurveTypes.USD_GBP_BASIS).risk_ladder[2])
+        ad = float(result.risk(CurveTypes.GBP_USD_BASIS).risk_ladder[2])
         assert abs(ad - fd) / abs(fd) < 1e-3
 
     def test_foreign_delta_vs_fd_xccy_fixed(self, model, result):
@@ -257,13 +257,13 @@ class TestXccyRisk:
 
     def test_gamma_matrices_symmetric(self, result):
         for ct in (CurveTypes.USD_OIS_SOFR, CurveTypes.GBP_OIS_SONIA,
-                   CurveTypes.USD_GBP_BASIS):
+                   CurveTypes.GBP_USD_BASIS):
             g = result.gamma(ct).risk_ladder
             np.testing.assert_allclose(g, g.T, rtol=1e-8, atol=1e-12)
 
     def test_cross_gamma_present(self, result):
         cg = result.gamma.cross_gamma(CurveTypes.GBP_OIS_SONIA,
-                                      CurveTypes.USD_GBP_BASIS)
+                                      CurveTypes.GBP_USD_BASIS)
         assert cg is not None
         n_for = len(TENORS)
         n_basis = len(BASIS_TENORS)
