@@ -66,14 +66,20 @@ class InflationCurve(DiscountCurve):
         self._check_refit = check_refit
         self._freq_type = FrequencyTypes.CONTINUOUS
 
-        breakeven_rates = self._prepare_curve_builder_inputs()
-        times, factors = self._build_curve_ad(jnp.asarray(breakeven_rates))
-        self._times = times
-        self._dfs = factors
-        self._refresh_interpolator()
+        from ...utils.device_policy import on_build_device
+        from ...utils.observability import timed
 
-        if check_refit:
-            self._check_refits(ZCIS_TOL)
+        with timed("curve.build.inflation",
+                   pillars=len(zcis_instruments)), on_build_device():
+            breakeven_rates = self._prepare_curve_builder_inputs()
+            times, factors = self._build_curve_ad(
+                jnp.asarray(breakeven_rates))
+            self._times = times
+            self._dfs = factors
+            self._refresh_interpolator()
+
+            if check_refit:
+                self._check_refits(ZCIS_TOL)
 
     # ------------------------------------------------------------------
 

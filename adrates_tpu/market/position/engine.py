@@ -54,11 +54,12 @@ class Engine:
 
     def compute(self, derivative, reqs, collateral_type=None
                 ) -> AnalyticsResult:
+        from ...utils.device_policy import on_request_device
         from ...utils.observability import timed
         reqs = set(reqs)
         dtype = derivative.derivative_type
         with timed("engine.compute", instrument=dtype.name,
-                   reqs=len(reqs)):
+                   reqs=len(reqs)), on_request_device():
             return self._compute(derivative, reqs, collateral_type, dtype)
 
     def _compute(self, derivative, reqs, collateral_type, dtype

@@ -70,6 +70,12 @@ class OISBootstrapPlan:
     pillar_idx: np.ndarray
     swap_times: np.ndarray
     pillar_point: np.ndarray
+    # [P, P] 0/1 one-hot of prev_idx (row i hot at prev(i)): the pv01
+    # system's transpose runs as a dense matvec against this instead of a
+    # scatter-add — TPU scatters serialize and f64 scatter is the one op
+    # class the f64-emulation path handles worst (docs/tpu_f64_notes.md).
+    # P <= ~100, so the matrix is a few tens of KB.
+    prev_onehot: np.ndarray = None
     depth: int = dataclasses.field(
         default=0, metadata=dict(static=True))  # max dependency-chain length
     loglinear_rates: bool = dataclasses.field(
@@ -145,10 +151,16 @@ def prepare_ois_plan(swap_times: Sequence[float],
         depths[idx] = 1 if p < 0 else depths[p] + 1
     depth = int(depths.max()) if len(sorted_points) else 0
 
+    P = len(sorted_points)
+    prev_onehot = np.zeros((P, P))
+    rows = np.nonzero(prev_idx >= 0)[0]
+    prev_onehot[rows, prev_idx[rows]] = 1.0
+
     return OISBootstrapPlan(point_times=point_times, accs=accs,
                             prev_idx=prev_idx, pillar_idx=pillar_idx,
                             swap_times=np.asarray(swap_times, dtype=float),
-                            pillar_point=pillar_point, depth=depth,
+                            pillar_point=pillar_point,
+                            prev_onehot=prev_onehot, depth=depth,
                             loglinear_rates=loglinear_rates)
 
 
@@ -204,11 +216,12 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     def A(x):
         return jnp.where(has_prev, x[gather_idx], 0.0) / denom
 
+    prev_onehot = jnp.asarray(plan.prev_onehot)
+
     def A_t(y):
-        # transpose of A: scatter-add of y/denom onto each prev slot
-        contrib = jnp.where(has_prev, y / denom, 0.0)
-        return jnp.zeros_like(y).at[gather_idx].add(
-            jnp.where(has_prev, contrib, 0.0))
+        # transpose of A: aggregate y/denom onto each prev slot. Dense
+        # [P, P] one-hot matvec, NOT a scatter-add — see prev_onehot.
+        return (y / denom) @ prev_onehot
 
     b = accs / denom
 

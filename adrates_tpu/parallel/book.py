@@ -325,7 +325,13 @@ def aggregate_total_pv(rates, plan: OISBootstrapPlan,
 
 def book_analytics(rates, plan, interp_type, book, shocks=None):
     """(pvs [S,B], delta [S,N], gamma [S,N,N]) over a scenario shock
-    matrix (shocks [S,N] in rate units; None = single base scenario)."""
+    matrix (shocks [S,N] in rate units; None = single base scenario).
+
+    CROSS-CHECK ONLY (not exported): differentiates through the per-trade
+    [B, P] gather graph, so each Hessian column costs O(B*P). Production
+    paths (`make_book_fn`, `make_multibook_fn`) use the O(U + T)
+    aggregate-weight delta/gamma instead; this naive formulation exists to
+    validate them in tests."""
     rates = jnp.asarray(rates)
     if shocks is None:
         shocks = jnp.zeros((1, rates.shape[0]))

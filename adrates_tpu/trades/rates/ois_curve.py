@@ -46,8 +46,10 @@ class OISCurve(DiscountCurve):
         self._interp_type = interp_type
         self._check_refit = check_refit
 
+        from ...utils.device_policy import on_build_device
+
         with timed("curve.build.ois", pillars=len(ois_swaps),
-                   interp=interp_type.name):
+                   interp=interp_type.name), on_build_device():
             self._prepare_curve_builder_inputs()
             self._plan = prepare_ois_plan(
                 self.swap_times, self.year_fracs,

@@ -65,8 +65,10 @@ class XccyCurve(DiscountCurve):
         self.swap_times = [(s._maturity_dt - value_dt) / gDaysInYear
                            for s in self._used_swaps]
 
+        from ...utils.device_policy import on_build_device
+
         with timed("curve.build.xccy", pillars=len(basis_swaps),
-                   interp=interp_type.name):
+                   interp=interp_type.name), on_build_device():
             self._plan = self._prepare_plan()
             self._pv_domestic = self._domestic_leg_pvs()
 
@@ -250,9 +252,11 @@ class XccyCurve(DiscountCurve):
         self._jac_cache_xccy = {}
 
     def _lazy_jac(self, key, builder):
+        from ...utils.device_policy import on_build_device
         cache = self._jac_cache_xccy
         if key not in cache:
-            cache[key] = builder()
+            with on_build_device():
+                cache[key] = builder()
         return cache[key]
 
     @property
