@@ -311,10 +311,27 @@ class MultiBookAggregate:
     trip_w: jnp.ndarray              # [T]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileSpec:
+    """Lazy tiling: the book is ``base x n_copies`` with per-copy
+    notional multipliers, expanded to full row tensors ON DEVICE inside
+    the jitted kernels. Only the base book (MBs, not GBs) crosses the
+    host->device boundary — at 100k trades the materialized row tensors
+    are ~800 MB, which through a tunneled device is both slow and the
+    observed wedge trigger; the expansion itself is a cheap broadcast in
+    HBM and the downstream gather sweep does the identical full-size
+    work."""
+    scale: jnp.ndarray               # [n_copies] notional multipliers
+    base_trades: int = dataclasses.field(metadata=dict(static=True))
+
+
 @dataclasses.dataclass
 class MultiBook:
     """A compiled multi-currency book: pad-bucketed rows + clamp slots +
-    aggregate + the basket that produced the gather indices."""
+    aggregate + the basket that produced the gather indices. When
+    ``tile`` is set, buckets/clamp hold the BASE book and kernels expand
+    in-graph (aggregate is already at tiled scale)."""
     basket: CurveBasket
     unique_times: np.ndarray
     buckets: Tuple[MultiBookRows, ...]
@@ -322,6 +339,7 @@ class MultiBook:
     aggregate: MultiBookAggregate
     n_trades: int
     base_currency: CurrencyTypes
+    tile: Optional[TileSpec] = None
 
 
 # ---------------------------------------------------------------------------
@@ -730,14 +748,35 @@ def _aggregate(buckets, CU: int) -> MultiBookAggregate:
 
 
 def tile_multibook(mb: MultiBook, n_copies: int,
-                   notional_scale=None) -> MultiBook:
+                   notional_scale=None,
+                   materialize: bool = False) -> MultiBook:
     """Scale a compiled multibook up by tiling its rows/clamp slots with
     per-copy notional multipliers (copies share schedules and curves;
-    amounts differ). Trade k of copy c becomes trade c * B + k."""
+    amounts differ). Trade k of copy c becomes trade c * B + k.
+
+    Default is LAZY: the returned book keeps the base tensors plus a
+    TileSpec and the kernels expand on device (see TileSpec — avoids
+    shipping ~GB of tiled rows through the host->device link).
+    ``materialize=True`` builds the full numpy tensors on host instead
+    (required by the sharding path, which places row shards explicitly).
+    """
     if notional_scale is None:
         notional_scale = np.ones(n_copies)
     scale = np.asarray(notional_scale, dtype=np.float64)
     B = mb.n_trades
+    if mb.tile is not None:
+        raise LibError("multibook is already lazily tiled")
+
+    if not materialize:
+        total = float(scale.sum())
+        agg = MultiBookAggregate(
+            w_lin=np.asarray(mb.aggregate.w_lin) * total,
+            trip_s=mb.aggregate.trip_s, trip_e=mb.aggregate.trip_e,
+            trip_p=mb.aggregate.trip_p,
+            trip_w=np.asarray(mb.aggregate.trip_w) * total)
+        return dataclasses.replace(
+            mb, aggregate=agg, n_trades=B * n_copies,
+            tile=TileSpec(scale=scale, base_trades=B))
 
     def tile(x, amount=False, trade=False):
         x = np.asarray(x)
@@ -788,6 +827,64 @@ def tile_multibook(mb: MultiBook, n_copies: int,
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
+
+
+def _expand_rows(b: MultiBookRows, spec: TileSpec) -> MultiBookRows:
+    """Materialize a lazily tiled bucket in-graph: broadcast the base
+    rows n_copies times, scaling the amount fields per copy. Pure
+    HBM-local broadcasts — nothing new crosses the host boundary."""
+    n = spec.scale.shape[0]
+
+    def rep(x):
+        return jnp.broadcast_to(
+            x[None], (n,) + x.shape).reshape((-1,) + x.shape[1:])
+
+    def amt(x):
+        sc = spec.scale.reshape((n,) + (1,) * x.ndim)
+        return (sc * x[None]).reshape((-1,) + x.shape[1:])
+
+    row_trade = (b.row_trade[None, :]
+                 + (jnp.arange(n, dtype=b.row_trade.dtype)
+                    * spec.base_trades)[:, None]).reshape(-1)
+    return MultiBookRows(
+        fix_idx=rep(b.fix_idx), fix_payments=amt(b.fix_payments),
+        fix_mask=rep(b.fix_mask), flt_pay_idx=rep(b.flt_pay_idx),
+        flt_start_idx=rep(b.flt_start_idx),
+        flt_end_idx=rep(b.flt_end_idx),
+        flt_pay_alphas=rep(b.flt_pay_alphas),
+        flt_index_alphas=rep(b.flt_index_alphas),
+        flt_spreads=rep(b.flt_spreads),
+        flt_notionals=amt(b.flt_notionals),
+        flt_mask=rep(b.flt_mask), row_trade=row_trade)
+
+
+def _expand_clamp(c: ClampSlots, spec: TileSpec) -> ClampSlots:
+    n = spec.scale.shape[0]
+
+    def rep(x):
+        return jnp.broadcast_to(
+            x[None], (n,) + x.shape).reshape(-1)
+
+    slot_trade = (c.slot_trade[None, :]
+                  + (jnp.arange(n, dtype=c.slot_trade.dtype)
+                     * spec.base_trades)[:, None]).reshape(-1)
+    return ClampSlots(
+        s_idx=rep(c.s_idx), e_idx=rep(c.e_idx), p_idx=rep(c.p_idx),
+        ia=rep(c.ia), w=(spec.scale[:, None] * c.w[None, :]).reshape(-1),
+        spread=rep(c.spread), cap=rep(c.cap), floor=rep(c.floor),
+        slot_trade=slot_trade)
+
+
+def _agg_clamp(c: Optional[ClampSlots],
+               spec: Optional[TileSpec]) -> Optional[ClampSlots]:
+    """Clamp slots as seen by the AGGREGATE (total-PV) graph: slot PV is
+    linear in the per-copy notional scale (the clipped rate itself is
+    scale-free), so the tiled book's clamp total is the base clamp with
+    weights scaled by sum(scale) — no expansion needed in the risk
+    pass."""
+    if c is None or spec is None:
+        return c
+    return dataclasses.replace(c, w=c.w * jnp.sum(spec.scale))
 
 
 def _combine_rows(b: MultiBookRows):
@@ -861,10 +958,15 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     buckets = jax.device_put(mb.buckets)
     clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
     agg = jax.device_put(mb.aggregate)
+    tile = mb.tile
     n_trades = mb.n_trades
 
     @jax.jit
-    def _fn(qvec, P, bks, cl, ag, shocks):
+    def _fn(qvec, P, bks, cl, ag, tl, shocks):
+        cl_agg = _agg_clamp(cl, tl)
+        if tl is not None:
+            bks = tuple(_expand_rows(b, tl) for b in bks)
+            cl = _expand_clamp(cl, tl) if cl is not None else None
         combined = [_combine_rows(b) for b in bks]
 
         def grid(shock):
@@ -875,7 +977,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
             lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all)
 
         def one_scenario(shock):
-            total = lambda q: aggregate_total(grids(q, P), ag, cl)
+            total = lambda q: aggregate_total(grids(q, P), ag, cl_agg)
             out = {"delta": jax.jacrev(total)(qvec + shock)}
             if want_gamma:
                 out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
@@ -892,7 +994,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
 
     def fn(qvec, shocks):
         return _fn(jnp.asarray(qvec), params, buckets, clamp, agg,
-                   jnp.asarray(shocks))
+                   tile, jnp.asarray(shocks))
 
     return fn
 
@@ -901,6 +1003,10 @@ def shard_multibook(mb: MultiBook, mesh, axis: str = "book"):
     """Place a multibook's row/clamp tensors with their leading axis
     sharded across the mesh (curve params and the aggregate replicated)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mb.tile is not None:
+        raise LibError("shard_multibook needs materialized rows — tile "
+                       "with materialize=True")
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -927,6 +1033,10 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis: str = "book",
     from functools import partial
 
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mb.tile is not None:
+        raise LibError("make_sharded_multibook_fn needs materialized "
+                       "rows — tile with materialize=True")
 
     basket = mb.basket
     grids = basket.grids
@@ -987,10 +1097,14 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
     params = jax.device_put(basket.params)
     buckets = jax.device_put(mb.buckets)
     clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
+    tile = mb.tile
     n_trades = mb.n_trades
 
     @jax.jit
-    def _fn(qvec, P, bks, cl):
+    def _fn(qvec, P, bks, cl, tl):
+        if tl is not None:
+            bks = tuple(_expand_rows(b, tl) for b in bks)
+            cl = _expand_clamp(cl, tl) if cl is not None else None
         dfs_flat = grids(qvec, P)
         J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
         N = J.shape[1]
@@ -1050,6 +1164,6 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
         return out
 
     def fn(qvec):
-        return _fn(jnp.asarray(qvec), params, buckets, clamp)
+        return _fn(jnp.asarray(qvec), params, buckets, clamp, tile)
 
     return fn

@@ -259,3 +259,36 @@ class TestTileMultibook:
         pvs = np.asarray(out["pvs"])[0].reshape(3, len(trades))
         np.testing.assert_allclose(pvs[1], 2.0 * pvs[0], rtol=1e-12)
         np.testing.assert_allclose(pvs[2], 0.5 * pvs[0], rtol=1e-12)
+
+    def test_lazy_matches_materialized(self, model):
+        """Device-side tile expansion == host-materialized tiling for
+        per-trade PVs, book delta AND gamma (the lazy path scales the
+        aggregate/clamp weights analytically)."""
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        scale = np.array([1.0, 1.7, 0.4, 2.2])
+        lazy = tile_multibook(mb, 4, notional_scale=scale)
+        mat = tile_multibook(mb, 4, notional_scale=scale,
+                             materialize=True)
+        assert lazy.tile is not None and mat.tile is None
+        shocks = np.zeros((1, mb.basket.n_quotes))
+        shocks[0, 3] = 1e-4
+        out_l = make_multibook_fn(lazy, want_gamma=True)(
+            mb.basket.quotes0, shocks)
+        out_m = make_multibook_fn(mat, want_gamma=True)(
+            mb.basket.quotes0, shocks)
+        np.testing.assert_allclose(np.asarray(out_l["pvs"]),
+                                   np.asarray(out_m["pvs"]),
+                                   rtol=1e-12, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out_l["delta"]),
+                                   np.asarray(out_m["delta"]),
+                                   rtol=1e-10, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out_l["gamma"]),
+                                   np.asarray(out_m["gamma"]),
+                                   rtol=1e-10, atol=1e-6)
+        lad_l = np.asarray(make_per_trade_delta_fn(lazy)(
+            mb.basket.quotes0))
+        lad_m = np.asarray(make_per_trade_delta_fn(mat)(
+            mb.basket.quotes0))
+        np.testing.assert_allclose(lad_l, lad_m, rtol=1e-10, atol=1e-8)
