@@ -887,6 +887,28 @@ def _agg_clamp(c: Optional[ClampSlots],
     return dataclasses.replace(c, w=c.w * jnp.sum(spec.scale))
 
 
+def _device_expand(buckets, clamp, tile):
+    """Expand a lazily tiled book ON DEVICE into concrete full-size
+    arrays, as a standalone jitted step at function-build time.
+
+    Kept OUT of the pricing program on purpose: inlining the broadcast
+    expansion into the 100-scenario gamma graph reliably crashed the
+    XLA:TPU worker at compile time, while the identical program over
+    materialized input arrays compiles and runs. The expansion itself is
+    trivial and the expanded book then lives in HBM exactly like a
+    host-materialized one — minus the ~GB host->device transfer."""
+    if tile is None:
+        return buckets, clamp
+
+    @jax.jit
+    def expand(bks, cl, tl):
+        ebks = tuple(_expand_rows(b, tl) for b in bks)
+        ecl = _expand_clamp(cl, tl) if cl is not None else None
+        return ebks, ecl
+
+    return expand(buckets, clamp, tile)
+
+
 def _combine_rows(b: MultiBookRows):
     """Scenario-invariant slot weights (HBM traffic: 3 f64 + 4 int32 per
     slot in the sweep instead of 8 f64 + 4 int32)."""
@@ -958,24 +980,28 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     buckets = jax.device_put(mb.buckets)
     clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
     agg = jax.device_put(mb.aggregate)
-    tile = mb.tile
+    clamp_agg = _agg_clamp(clamp, mb.tile)
+    buckets, clamp = _device_expand(buckets, clamp, mb.tile)
     n_trades = mb.n_trades
 
+    # TWO jitted programs, not one: the monolithic
+    # sweep+delta+gamma program is the largest compile in the package and
+    # XLA:TPU compilation peaks in worker memory — splitting halves the
+    # peak and lets each half hit the persistent compile cache
+    # independently.
     @jax.jit
-    def _fn(qvec, P, bks, cl, ag, tl, shocks):
-        cl_agg = _agg_clamp(cl, tl)
-        if tl is not None:
-            bks = tuple(_expand_rows(b, tl) for b in bks)
-            cl = _expand_clamp(cl, tl) if cl is not None else None
+    def _pvs(qvec, P, bks, cl, shocks):
         combined = [_combine_rows(b) for b in bks]
 
         def grid(shock):
             return grids(qvec + shock, P)
 
         dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
-        pvs = lax.map(
+        return lax.map(
             lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all)
 
+    @jax.jit
+    def _risk(qvec, P, ag, cl_agg, shocks):
         def one_scenario(shock):
             total = lambda q: aggregate_total(grids(q, P), ag, cl_agg)
             out = {"delta": jax.jacrev(total)(qvec + shock)}
@@ -988,13 +1014,14 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         # exist for ONE scenario at a time — vmapping them across 100
         # scenarios materializes [S, N, C*U] temporaries per fused op and
         # blows past HBM on a 16 GB chip.
-        out = lax.map(one_scenario, shocks)
-        out["pvs"] = pvs
-        return out
+        return lax.map(one_scenario, shocks)
 
     def fn(qvec, shocks):
-        return _fn(jnp.asarray(qvec), params, buckets, clamp, agg,
-                   tile, jnp.asarray(shocks))
+        qvec = jnp.asarray(qvec)
+        shocks = jnp.asarray(shocks)
+        out = _risk(qvec, params, agg, clamp_agg, shocks)
+        out["pvs"] = _pvs(qvec, params, buckets, clamp, shocks)
+        return out
 
     return fn
 
@@ -1097,14 +1124,11 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
     params = jax.device_put(basket.params)
     buckets = jax.device_put(mb.buckets)
     clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
-    tile = mb.tile
+    buckets, clamp = _device_expand(buckets, clamp, mb.tile)
     n_trades = mb.n_trades
 
     @jax.jit
-    def _fn(qvec, P, bks, cl, tl):
-        if tl is not None:
-            bks = tuple(_expand_rows(b, tl) for b in bks)
-            cl = _expand_clamp(cl, tl) if cl is not None else None
+    def _fn(qvec, P, bks, cl):
         dfs_flat = grids(qvec, P)
         J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
         N = J.shape[1]
@@ -1164,6 +1188,6 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
         return out
 
     def fn(qvec):
-        return _fn(jnp.asarray(qvec), params, buckets, clamp, tile)
+        return _fn(jnp.asarray(qvec), params, buckets, clamp)
 
     return fn
