@@ -984,11 +984,24 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     buckets, clamp = _device_expand(buckets, clamp, mb.tile)
     n_trades = mb.n_trades
 
+    CU = basket.n_curves * mb.unique_times.shape[0]
+    N = basket.n_quotes
+
     # TWO jitted programs, not one: the monolithic
     # sweep+delta+gamma program is the largest compile in the package and
     # XLA:TPU compilation peaks in worker memory — splitting halves the
     # peak and lets each half hit the persistent compile cache
     # independently.
+    #
+    # Scenario batching: NEVER a plain scenario-sequential lax.map — a
+    # known-trip-count loop whose body is the whole pricing/risk graph
+    # reliably crashed the XLA:TPU worker at S=100 (suspected full loop
+    # unrolling), while the same graph vmapped, or lax.map'ed with a
+    # batch_size, compiles and runs (measured: vmap 2.34 s, batch=10
+    # 2.95 s for the S=100 risk pass). The risk pass vmaps up to an
+    # HBM-aware batch (its [batch, N, C*U] tangent temporaries must
+    # fit); the PV sweep uses a small batch (its per-bucket gather
+    # temporaries are [batch, R, P]-sized).
     @jax.jit
     def _pvs(qvec, P, bks, cl, shocks):
         combined = [_combine_rows(b) for b in bks]
@@ -998,7 +1011,11 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
 
         dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
         return lax.map(
-            lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all)
+            lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all,
+            batch_size=min(8, shocks.shape[0]))
+
+    # cap the vmapped tangent temporaries near ~1.5 GB of f64
+    risk_batch = max(1, min(int(2e8 // max(N * CU, 1)), 128))
 
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):
@@ -1009,12 +1026,8 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
                 out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
             return out
 
-        # Stream the risk pass scenario-by-scenario (lax.map, not vmap):
-        # the N-direction jacfwd tangents through the whole curve graph
-        # exist for ONE scenario at a time — vmapping them across 100
-        # scenarios materializes [S, N, C*U] temporaries per fused op and
-        # blows past HBM on a 16 GB chip.
-        return lax.map(one_scenario, shocks)
+        return lax.map(one_scenario, shocks,
+                       batch_size=min(risk_batch, shocks.shape[0]))
 
     def fn(qvec, shocks):
         qvec = jnp.asarray(qvec)
