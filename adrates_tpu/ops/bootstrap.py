@@ -228,18 +228,30 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     def matvec(x):
         return x - A(x)
 
-    def solve(_, b_):
-        def sweep(x, __):
-            return A(x) + b_, None
-        x, __ = lax.scan(sweep, jnp.zeros_like(b_), None, length=depth)
+    # Solve (I - A) x = b by NEUMANN DOUBLING instead of K sequential
+    # sweeps: with A nilpotent of index <= depth (chains point strictly
+    # backward), x = sum_{k<2^m} A^k b for 2^m >= depth. Iterating
+    #     x <- x + M x,   M <- M M
+    # squares the covered power count each step, so ceil(log2(depth))
+    # dense [P, P] matmuls (MXU work, P <= ~100) replace depth
+    # HBM-latency-bound vector sweeps — the bootstrap's serial depth
+    # drops from ~60 to ~6 in every forward, jvp and vjp solve of the
+    # gamma tower.
+    m_steps = max(int(np.ceil(np.log2(max(depth, 2)))), 1)
+
+    def _doubling_solve(M0, b_):
+        def step(carry, _):
+            x, M = carry
+            return (x + M @ x, M @ M), None
+
+        (x, _), __ = lax.scan(step, (b_, M0), None, length=m_steps)
         return x
 
+    def solve(_, b_):
+        return _doubling_solve(prev_onehot / denom[:, None], b_)
+
     def transpose_solve(_, y):
-        # (I - A)^T x = y  =>  x = A^T x + y, same K sweeps
-        def sweep(x, __):
-            return A_t(x) + y, None
-        x, __ = lax.scan(sweep, jnp.zeros_like(y), None, length=depth)
-        return x
+        return _doubling_solve((prev_onehot / denom[:, None]).T, y)
 
     pv01 = lax.custom_linear_solve(matvec, b, solve,
                                    transpose_solve=transpose_solve)

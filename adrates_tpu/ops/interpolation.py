@@ -24,6 +24,19 @@ Design differences from the reference (upgrades, not ports):
 The exact-knot guard of the reference (interpolator_ad.py:214-243) is
 preserved: at grid points the stored DF is returned through lax.select so
 gradients at knots don't become NaN (critical for 1e-10 par refits).
+
+Why there is NO hand-written Pallas interpolation kernel (round-1 shipped
+an f32 FLAT_FWD one; removed in round 2): the book-scale design interns
+every cashflow time into one shared unique-time grid per curve
+(parallel/multibook.py), so the hot sweeps GATHER precomputed DFs instead
+of interpolating per cashflow. What interpolation remains on the hot path
+is S x C x U queries per scenario sweep (~1e6 for the flagship config) —
+about 0.1% of the sweep's work, fully fused by XLA into the surrounding
+graph. A Mosaic kernel there would optimize a non-bottleneck while
+adding an f32-only side path to a package whose calibration contract is
+1e-10 in f64. If a future workload needs dense per-cashflow
+interpolation at >1e8 queries, resurrect the kernel from git history
+(ops/pallas_interp.py, commit f0a32cb).
 """
 
 from __future__ import annotations

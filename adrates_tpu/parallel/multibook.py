@@ -1010,9 +1010,12 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
             return grids(qvec + shock, P)
 
         dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
+        # batch=32 measured 3.3x faster than batch=8 on the 100k book;
+        # full vmap (S=100) OOMs HBM (26 GB needed) — gather temporaries
+        # scale with the batch.
         return lax.map(
             lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all,
-            batch_size=min(8, shocks.shape[0]))
+            batch_size=min(32, shocks.shape[0]))
 
     # cap the vmapped tangent temporaries near ~1.5 GB of f64
     risk_batch = max(1, min(int(2e8 // max(N * CU, 1)), 128))
