@@ -299,6 +299,24 @@ class ClampSlots:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class ColRows:
+    """One pad-bucket of legs in COLUMN form: every cashflow is a single
+    (column, weight) slot against the per-scenario value vector
+    v = concat(dfs_flat [C*U], tripvals [T]) where
+    tripvals[t] = (df_s/df_e - 1) * df_p over the aggregate's
+    deduplicated forward triples. Fixed coupons and float spread terms
+    point at DF columns; float forward terms point at trip columns. The
+    hot sweep is then ONE [R, L] gather + weighted row-sum instead of
+    four gathers + forward arithmetic per slot — the same PV, ~4x less
+    gather traffic (the per-triple forward work happens once in the tiny
+    [T] table, not once per trade)."""
+    col_idx: jnp.ndarray             # [R, L] int32 into [C*U + T]
+    w: jnp.ndarray                   # [R, L] (0.0 = dead slot)
+    row_trade: jnp.ndarray           # [R] int32 owning trade
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class MultiBookAggregate:
     """The book's TOTAL base-ccy PV collapsed onto the flat [C*U] grid:
     linear weights + deduplicated forward triples (+ clamp slots handled
@@ -340,6 +358,7 @@ class MultiBook:
     n_trades: int
     base_currency: CurrencyTypes
     tile: Optional[TileSpec] = None
+    cols: Tuple[ColRows, ...] = ()   # column form of `buckets` (same PVs)
 
 
 # ---------------------------------------------------------------------------
@@ -696,12 +715,108 @@ def compile_multibook(instruments, model,
                                 dtype=np.int32))
 
     agg = _aggregate(buckets, basket.n_curves * U)
+    cols = _build_cols(buckets, agg, basket.n_curves * U, n_buckets)
     basket.grids = basket.grids_fn(unique_times)
 
     return MultiBook(basket=basket, unique_times=unique_times,
                      buckets=tuple(buckets), clamp=clamp, aggregate=agg,
                      n_trades=len(instruments),
-                     base_currency=base_currency)
+                     base_currency=base_currency, cols=cols)
+
+
+def _build_cols(buckets, agg: MultiBookAggregate, CU: int,
+                n_buckets: int) -> Tuple[ColRows, ...]:
+    """Derive the column representation from the padded buckets: one
+    (col, w) slot per live fixed coupon / spread term / forward term,
+    with forward terms remapped onto the aggregate's deduplicated trip
+    table (trip t's column is CU + t)."""
+    uniq_key = ((agg.trip_s.astype(np.int64) * CU
+                 + agg.trip_e.astype(np.int64)) * CU
+                + agg.trip_p.astype(np.int64))
+    # np.unique returned them sorted; searchsorted recovers trip ids
+    slots = []                       # (trade, [(col, w), ...])
+    for b in buckets:
+        R = b.fix_idx.shape[0]
+        fix_idx = np.asarray(b.fix_idx)
+        fix_w = np.asarray(b.fix_payments) * np.asarray(b.fix_mask)
+        pay = np.asarray(b.flt_pay_idx)
+        spr_w = (np.asarray(b.flt_spreads) * np.asarray(b.flt_pay_alphas)
+                 * np.asarray(b.flt_notionals) * np.asarray(b.flt_mask))
+        ia = np.asarray(b.flt_index_alphas)
+        pa = np.asarray(b.flt_pay_alphas)
+        ratio = np.where(ia > 0.0, pa / np.where(ia > 0.0, ia, 1.0), 0.0)
+        fwd_w = (np.asarray(b.flt_notionals) * ratio
+                 * np.asarray(b.flt_mask))
+        key = ((np.asarray(b.flt_start_idx).astype(np.int64) * CU
+                + np.asarray(b.flt_end_idx).astype(np.int64)) * CU
+               + pay.astype(np.int64))
+        trip_col = CU + np.searchsorted(uniq_key, key)
+        row_trade = np.asarray(b.row_trade)
+        for k in range(R):
+            s: list = []
+            live = fix_w[k] != 0.0
+            s += list(zip(fix_idx[k][live].tolist(),
+                          fix_w[k][live].tolist()))
+            live = spr_w[k] != 0.0
+            s += list(zip(pay[k][live].tolist(), spr_w[k][live].tolist()))
+            live = fwd_w[k] != 0.0
+            s += list(zip(trip_col[k][live].tolist(),
+                          fwd_w[k][live].tolist()))
+            slots.append((int(row_trade[k]), s))
+
+    order = sorted(range(len(slots)), key=lambda i: len(slots[i][1]))
+    n = len(slots)
+    bounds = np.linspace(0, n, min(n_buckets, max(n, 1)) + 1).astype(int)
+    cols = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        sel = [slots[i] for i in order[lo:hi]]
+        L = max(max((len(s) for _, s in sel), default=1), 1)
+        R = len(sel)
+        ci = np.zeros((R, L), dtype=np.int32)
+        wi = np.zeros((R, L))
+        rt = np.zeros(R, dtype=np.int32)
+        for k, (t, s) in enumerate(sel):
+            rt[k] = t
+            for j, (c, w) in enumerate(s):
+                ci[k, j] = c
+                wi[k, j] = w
+        cols.append((ci, wi, rt))
+    return tuple(ColRows(col_idx=c, w=w, row_trade=r) for c, w, r in cols)
+
+
+def _trip_values(dfs_flat, agg: MultiBookAggregate):
+    """The [T] forward-triple value table for the column sweep."""
+    return ((dfs_flat[agg.trip_s] / dfs_flat[agg.trip_e] - 1.0)
+            * dfs_flat[agg.trip_p])
+
+
+def trade_pvs_cols(dfs_flat, cols, clamp, n_trades: int,
+                   agg: MultiBookAggregate):
+    """Per-trade base-ccy PVs [B] via the single-gather column sweep."""
+    v = jnp.concatenate([dfs_flat, _trip_values(dfs_flat, agg)])
+    out = jnp.zeros(n_trades)
+    for cb in cols:
+        out = out.at[cb.row_trade].add(
+            jnp.sum(cb.w * v[cb.col_idx], axis=1))
+    if clamp is not None:
+        out = out.at[clamp.slot_trade].add(_clamp_pvs(dfs_flat, clamp))
+    return out
+
+
+def _expand_cols(cb: ColRows, spec: TileSpec) -> ColRows:
+    n = spec.scale.shape[0]
+    row_trade = (cb.row_trade[None, :]
+                 + (jnp.arange(n, dtype=cb.row_trade.dtype)
+                    * spec.base_trades)[:, None]).reshape(-1)
+    return ColRows(
+        col_idx=jnp.broadcast_to(
+            cb.col_idx[None], (n,) + cb.col_idx.shape
+        ).reshape((-1,) + cb.col_idx.shape[1:]),
+        w=(spec.scale[:, None, None] * cb.w[None]).reshape(
+            (-1,) + cb.w.shape[1:]),
+        row_trade=row_trade)
 
 
 def _aggregate(buckets, CU: int) -> MultiBookAggregate:
@@ -818,10 +933,16 @@ def tile_multibook(mb: MultiBook, n_copies: int,
 
     CU = mb.basket.n_curves * mb.unique_times.shape[0]
     agg = _aggregate(buckets, CU)
+    cols = tuple(ColRows(
+        col_idx=tile(cb.col_idx).astype(np.int32),
+        w=tile(cb.w, amount=True),
+        row_trade=tile(cb.row_trade, trade=True).astype(np.int32),
+    ) for cb in mb.cols)
+
     return MultiBook(basket=mb.basket, unique_times=mb.unique_times,
                      buckets=buckets, clamp=clamp, aggregate=agg,
                      n_trades=B * n_copies,
-                     base_currency=mb.base_currency)
+                     base_currency=mb.base_currency, cols=cols)
 
 
 # ---------------------------------------------------------------------------
@@ -887,7 +1008,7 @@ def _agg_clamp(c: Optional[ClampSlots],
     return dataclasses.replace(c, w=c.w * jnp.sum(spec.scale))
 
 
-def _device_expand(buckets, clamp, tile):
+def _device_expand(buckets, clamp, tile, cols=None):
     """Expand a lazily tiled book ON DEVICE into concrete full-size
     arrays, as a standalone jitted step at function-build time.
 
@@ -897,16 +1018,21 @@ def _device_expand(buckets, clamp, tile):
     materialized input arrays compiles and runs. The expansion itself is
     trivial and the expanded book then lives in HBM exactly like a
     host-materialized one — minus the ~GB host->device transfer."""
+    want_cols = cols is not None
     if tile is None:
-        return buckets, clamp
+        return (buckets, clamp, cols) if want_cols else (buckets, clamp)
 
     @jax.jit
-    def expand(bks, cl, tl):
-        ebks = tuple(_expand_rows(b, tl) for b in bks)
+    def expand(bks, cl, cbs, tl):
+        ebks = None if bks is None else tuple(
+            _expand_rows(b, tl) for b in bks)
         ecl = _expand_clamp(cl, tl) if cl is not None else None
-        return ebks, ecl
+        ecb = None if cbs is None else tuple(
+            _expand_cols(c, tl) for c in cbs)
+        return ebks, ecl, ecb
 
-    return expand(buckets, clamp, tile)
+    ebks, ecl, ecb = expand(buckets, clamp, cols, tile)
+    return (ebks, ecl, ecb) if want_cols else (ebks, ecl)
 
 
 def _combine_rows(b: MultiBookRows):
@@ -977,11 +1103,11 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     basket = mb.basket
     grids = basket.grids
     params = jax.device_put(basket.params)
-    buckets = jax.device_put(mb.buckets)
+    cols = jax.device_put(mb.cols)
     clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
     agg = jax.device_put(mb.aggregate)
     clamp_agg = _agg_clamp(clamp, mb.tile)
-    buckets, clamp = _device_expand(buckets, clamp, mb.tile)
+    _, clamp, cols = _device_expand(None, clamp, mb.tile, cols=cols)
     n_trades = mb.n_trades
 
     CU = basket.n_curves * mb.unique_times.shape[0]
@@ -1003,9 +1129,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     # fit); the PV sweep uses a small batch (its per-bucket gather
     # temporaries are [batch, R, P]-sized).
     @jax.jit
-    def _pvs(qvec, P, bks, cl, shocks):
-        combined = [_combine_rows(b) for b in bks]
-
+    def _pvs(qvec, P, cbs, cl, ag, shocks):
         def grid(shock):
             return grids(qvec + shock, P)
 
@@ -1014,7 +1138,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         # full vmap (S=100) OOMs HBM (26 GB needed) — gather temporaries
         # scale with the batch.
         return lax.map(
-            lambda d: trade_pvs(d, bks, cl, n_trades, combined), dfs_all,
+            lambda d: trade_pvs_cols(d, cbs, cl, n_trades, ag), dfs_all,
             batch_size=min(32, shocks.shape[0]))
 
     # cap the vmapped tangent temporaries near ~1.5 GB of f64
@@ -1036,7 +1160,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         qvec = jnp.asarray(qvec)
         shocks = jnp.asarray(shocks)
         out = _risk(qvec, params, agg, clamp_agg, shocks)
-        out["pvs"] = _pvs(qvec, params, buckets, clamp, shocks)
+        out["pvs"] = _pvs(qvec, params, cols, clamp, agg, shocks)
         return out
 
     return fn
@@ -1138,52 +1262,49 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
     basket = mb.basket
     grids = basket.grids
     params = jax.device_put(basket.params)
-    buckets = jax.device_put(mb.buckets)
+    cols = jax.device_put(mb.cols)
     clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
-    buckets, clamp = _device_expand(buckets, clamp, mb.tile)
+    _, clamp, cols = _device_expand(None, clamp, mb.tile, cols=cols)
+    agg = jax.device_put(mb.aggregate)
     n_trades = mb.n_trades
 
     @jax.jit
-    def _fn(qvec, P, bks, cl):
+    def _fn(qvec, P, cbs, cl, ag):
         dfs_flat = grids(qvec, P)
         J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
         N = J.shape[1]
         out = jnp.zeros((n_trades, N))
 
-        for b in bks:
-            w_fix, w_fwd, w_spr = _combine_rows(b)
-            df_s = dfs_flat[b.flt_start_idx]
-            df_e = dfs_flat[b.flt_end_idx]
-            df_p = dfs_flat[b.flt_pay_idx]
-            coef_p = w_fwd * (df_s / df_e - 1.0) + w_spr     # d/d df_p
-            coef_s = w_fwd * df_p / df_e                     # d/d df_s
-            coef_e = -w_fwd * df_s * df_p / (df_e * df_e)    # d/d df_e
+        # d tripval / d quotes, closed form from the gathered J rows:
+        # tripval = (a/b - 1) c  with a=df_s, b=df_e, c=df_p
+        a = dfs_flat[ag.trip_s][:, None]
+        b_ = dfs_flat[ag.trip_e][:, None]
+        c_ = dfs_flat[ag.trip_p][:, None]
+        J_trip = (J[ag.trip_s] * (c_ / b_)
+                  - J[ag.trip_e] * (a * c_ / (b_ * b_))
+                  + J[ag.trip_p] * (a / b_ - 1.0))
+        Jv = jnp.concatenate([J, J_trip])                # [C*U + T, N]
 
-            R = b.fix_idx.shape[0]
+        for cb in cbs:
+            R = cb.col_idx.shape[0]
             pad = (-R) % chunk
+
             def padded(x, fill=0):
                 return jnp.concatenate(
                     [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
                     if pad else x
 
-            stacked = [padded(b.fix_idx), padded(w_fix),
-                       padded(b.flt_pay_idx), padded(coef_p),
-                       padded(b.flt_start_idx), padded(coef_s),
-                       padded(b.flt_end_idx), padded(coef_e)]
+            stacked = [padded(cb.col_idx), padded(cb.w)]
             stacked = [x.reshape((-1, chunk) + x.shape[1:])
                        for x in stacked]
 
             def chunk_delta(args):
-                fi, wf, pi, cp, si, cs, ei, ce = args
-                d = jnp.einsum("bp,bpn->bn", wf, J[fi])
-                d += jnp.einsum("bp,bpn->bn", cp, J[pi])
-                d += jnp.einsum("bp,bpn->bn", cs, J[si])
-                d += jnp.einsum("bp,bpn->bn", ce, J[ei])
-                return d
+                ci, wi = args
+                return jnp.einsum("bp,bpn->bn", wi, Jv[ci])
 
-            deltas = lax.map(chunk_delta, tuple(stacked))    # [nc, chunk, N]
+            deltas = lax.map(chunk_delta, tuple(stacked))
             deltas = deltas.reshape(-1, N)[:R]
-            out = out.at[b.row_trade].add(deltas)
+            out = out.at[cb.row_trade].add(deltas)
 
         if cl is not None:
             df_s = dfs_flat[cl.s_idx]
@@ -1204,6 +1325,6 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
         return out
 
     def fn(qvec):
-        return _fn(jnp.asarray(qvec), params, buckets, clamp)
+        return _fn(jnp.asarray(qvec), params, cols, clamp, agg)
 
     return fn
