@@ -1134,12 +1134,12 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
             return grids(qvec + shock, P)
 
         dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
-        # batch=32 measured 3.3x faster than batch=8 on the 100k book;
-        # full vmap (S=100) OOMs HBM (26 GB needed) — gather temporaries
-        # scale with the batch.
+        # batch=64 measured best for the column sweep on the 100k book
+        # (605 ms vs 1.26 s at 32); batch=100 OOMs HBM — the [batch,R,L]
+        # gather temporaries scale with the batch.
         return lax.map(
             lambda d: trade_pvs_cols(d, cbs, cl, n_trades, ag), dfs_all,
-            batch_size=min(32, shocks.shape[0]))
+            batch_size=min(64, shocks.shape[0]))
 
     # cap the vmapped tangent temporaries near ~1.5 GB of f64
     risk_batch = max(1, min(int(2e8 // max(N * CU, 1)), 128))
