@@ -16,6 +16,9 @@ multi-curve semantics (/root/reference/cavour/market/position/engine.py:
    `disc`/`proj` curve ids are folded into the gather indices at compile
    time (index = curve_id * U + time_idx), so the hot sweep is the SAME
    flat-gather kernel as the single-curve book — no runtime routing;
+   the production sweep uses the COLUMN form (`ColRows`): one
+   (column, weight) slot per cashflow against the per-scenario value
+   vector [DF grid, forward-triple table];
  - FX conversion to the base currency is folded into the row weights;
  - fixed coupons, float forwards and notional exchanges aggregate to
    O(U + T) weights for book-level delta/gamma; capped/floored FRN
