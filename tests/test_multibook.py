@@ -292,3 +292,43 @@ class TestTileMultibook:
         lad_m = np.asarray(make_per_trade_delta_fn(mat)(
             mb.basket.quotes0))
         np.testing.assert_allclose(lad_l, lad_m, rtol=1e-10, atol=1e-8)
+
+
+class TestShardedMultibook:
+    def test_sharded_equals_single_device(self, model):
+        """GSPMD row-sharded analytics == unsharded on the virtual
+        8-device CPU mesh: total PV, delta and gamma to f64 noise."""
+        import jax
+        from jax.sharding import Mesh
+
+        from adrates_tpu.parallel import (make_sharded_multibook_fn,
+                                          shard_multibook)
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        mbb = tile_multibook(mb, 8, materialize=True)
+        N = mb.basket.n_quotes
+        shocks = np.zeros((2, N))
+        shocks[1, 2] = 1e-4
+
+        ref = make_multibook_fn(mbb, want_gamma=True)(
+            mb.basket.quotes0, shocks)
+
+        mesh = Mesh(np.array(devices[:8]), ("book",))
+        fn = make_sharded_multibook_fn(shard_multibook(mbb, mesh), mesh,
+                                       want_gamma=True)
+        out = fn(mb.basket.quotes0, shocks)
+
+        np.testing.assert_allclose(
+            np.asarray(out["total_pv"]),
+            np.asarray(ref["pvs"]).sum(axis=1), rtol=1e-12, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(out["delta"]),
+                                   np.asarray(ref["delta"]),
+                                   rtol=1e-10, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out["gamma"]),
+                                   np.asarray(ref["gamma"]),
+                                   rtol=1e-10, atol=1e-6)
