@@ -147,26 +147,39 @@ def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,
     sign = plan.foreign_sign
     fx = spot_fx
 
-    def step(C, inputs):
-        k, W_k, v0_k, pvd_k, cfm_k, bm_k = inputs
-        # Scalar math on 2-vectors: rank-0 fused f64 chains run at f32 on
-        # TPU (docs/tpu_f64_notes.md).
-        dotv = jnp.dot(W_k, C)
-        pvk2 = jnp.stack([v0_k, v0_k]) + jnp.stack([dotv, dotv])
-        pvd2 = jnp.stack([pvd_k, pvd_k])
-        cfm2 = jnp.stack([cfm_k, cfm_k])
-        bm2 = jnp.stack([bm_k, bm_k])
-        num2 = -(pvd2 + fx * (sign * pvk2))
-        den2 = fx * (sign * cfm2)
-        D2 = num2 / den2
-        Cq2 = D2 / bm2
-        C_new = C.at[k + 1].set(Cq2[0])
-        return C_new, D2[0]
+    # The pillar recursion is AFFINE in the chain vector C: each step of
+    # the reference's sequential solve is
+    #     C[k+1] = -(pvd_k + fxs*(v0_k + W_k . C)) / (fxs*cfm_k*bm_k)
+    # and W_k only touches segments <= k (a swap's non-maturity payments
+    # precede its own pillar), so x = C[1:] solves the strictly-lower-
+    # triangular linear system (I - A) x = b. Solve it by the same
+    # Neumann doubling as the OIS pv01 (ops/bootstrap.py): A is nilpotent
+    # of index <= S, so ceil(log2(S)) dense [S, S] matmuls replace the
+    # S-step sequential scan, and lax.custom_linear_solve makes every
+    # jvp/vjp level of the gamma towers ONE extra log-depth solve instead
+    # of a differentiated scan.
+    fxs = fx * sign
+    d = fxs * cf_mat * base_mat                       # [S]
+    b_vec = -(pv_dom + fxs * (jnp.asarray(plan.v0) + W[:, 0])) / d
+    A = (-(fxs / d))[:, None] * W[:, 1:]              # [S, S] strict lower
 
-    C0 = jnp.zeros(S + 1, dtype=base.dtype).at[0].set(1.0)
-    C_final, D = lax.scan(
-        step, C0,
-        (jnp.arange(S), W, jnp.asarray(plan.v0), pv_dom, cf_mat, base_mat))
+    m_steps = max(int(np.ceil(np.log2(max(S, 2)))), 1)
+
+    def _doubling(M0, bb):
+        def stp(carry, _):
+            x, M = carry
+            return (x + M @ x, M @ M), None
+
+        (x, _), __ = lax.scan(stp, (bb, M0), None, length=m_steps)
+        return x
+
+    x = lax.custom_linear_solve(
+        lambda v: v - A @ v, b_vec,
+        lambda _, bb: _doubling(A, bb),
+        transpose_solve=lambda _, y: _doubling(A.T, y))
+
+    C_final = jnp.concatenate([jnp.ones(1, dtype=base.dtype), x])
+    D = x * base_mat
 
     # Node DFs: par-solved at pillars, chain values elsewhere.
     mat_rank = jnp.cumsum(is_mat.astype(jnp.int32)) - 1
