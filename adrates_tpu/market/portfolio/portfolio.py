@@ -25,6 +25,9 @@ class Portfolio:
     def add(self, position: Position):
         self.positions.append(position)
 
+    # reference API name (portfolio.py add_position)
+    add_position = add
+
     def compute(self, request_list, collateral_type=None) -> AnalyticsResult:
         """Sum per-position analytics (value/delta/gamma add via the
         result classes' currency- and curve-checked __add__)."""

@@ -208,3 +208,14 @@ class FXRoutingEngine:
     def get_path(self, base: str, quote: str) -> List[str]:
         _, path = self._dijkstra(base, quote)
         return path
+
+    def get_cross_rate_with_path(self, base: str, quote: str):
+        """(rate, conversion path) — (None, []) when no route exists
+        (parity: reference market_data_engine.py:424-455)."""
+        base, quote = base.upper(), quote.upper()
+        if base == quote:
+            return 1.0, [base]
+        rate, path = self._dijkstra(base, quote)
+        if rate is None:
+            return None, []
+        return rate, path

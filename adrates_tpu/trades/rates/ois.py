@@ -169,6 +169,14 @@ class OIS:
         self._fixed_leg.print_payments()
         self._float_leg.print_payments()
 
+    def print_fixed_leg_pv(self):
+        """Fixed-leg flows table (reference ois.py:324-328)."""
+        self._fixed_leg.print_valuation()
+
+    def print_float_leg_pv(self):
+        """Float-leg flows table (reference ois.py:330-334)."""
+        self._float_leg.print_valuation()
+
     def __repr__(self):
         return (f"OIS({self._effective_dt} -> {self._maturity_dt}, "
                 f"{self._fixed_leg._leg_type.name} fixed "

@@ -298,6 +298,17 @@ class Date:
     def add_days(self, num_days: int = 1) -> "Date":
         return Date.from_serial(self.serial() + int(num_days))
 
+    def add_hours(self, hours: int) -> "Date":
+        """A new date ``hours`` later, rolling into following days
+        (parity: reference date.py:487-505; negative hours rejected
+        there too)."""
+        if hours < 0:
+            raise LibError("Number of hours must be positive")
+        total = self._hh + int(hours)
+        dt = self.add_days(total // 24)
+        return Date(dt._d, dt._m, dt._y, hh=total % 24, mm=self._mm,
+                    ss=self._ss)
+
     def add_weekdays(self, num_days: int) -> "Date":
         """Add ``num_days`` weekdays (weekends skipped; holidays ignored).
 
