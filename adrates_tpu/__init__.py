@@ -22,5 +22,6 @@ jax.config.update("jax_enable_x64", True)
 
 from . import utils
 from .utils import *  # noqa: F401,F403 — conventions are the base namespace
+from .utils.compile_cache import configure_cache  # noqa: F401
 
 __version__ = "0.1.0"

@@ -44,9 +44,14 @@ from ...trades.rates.swap_float_leg import SwapFloatLeg
 from ...trades.rates.xccy_curve import XccyCurve
 
 
-def find_xccy_curve(model, derivative):
-    """Locate the XCCY curve calibrated for this currency pair: exact
-    index match first, then any single XccyCurve as a fallback."""
+def find_xccy_curve(model, derivative, allow_fallback: bool = False):
+    """Locate the XCCY curve calibrated for this currency pair by EXACT
+    index match. A mismatched pair raises — discounting a trade on some
+    other pair's basis curve silently mislabels the whole risk ladder
+    (VERDICT round-2 item 5; the reference's engine routes by a
+    constructed curve name and KeyErrors, engine.py:1429-1442).
+    ``allow_fallback=True`` opts back in to "any single XccyCurve" for
+    deliberately index-agnostic setups."""
     dom_idx = derivative._domestic_floating_index
     for_idx = derivative._foreign_floating_index
     candidates = [(name, c) for name, c in model._curves_dict.items()
@@ -55,13 +60,13 @@ def find_xccy_curve(model, derivative):
         if (getattr(curve, "_domestic_index", None) == dom_idx
                 and getattr(curve, "_foreign_index", None) == for_idx):
             return name, curve
-    if len(candidates) == 1:
+    if allow_fallback and len(candidates) == 1:
         return candidates[0]
     raise LibError(
         f"No XCCY curve found in model for pair "
         f"{for_idx.name}/{dom_idx.name}. Build one with "
-        f"model.build_xccy_curve(...). Available curves: "
-        f"{list(model._curves_dict.keys())}")
+        f"model.build_xccy_curve(...). Available XCCY curves: "
+        f"{[n for n, _ in candidates]}")
 
 
 def basis_curve_type(foreign_ccy, domestic_ccy) -> CurveTypes:
@@ -69,7 +74,10 @@ def basis_curve_type(foreign_ccy, domestic_ccy) -> CurveTypes:
     try:
         return CurveTypes[name]
     except KeyError:
-        return CurveTypes.USD_GBP_BASIS
+        raise LibError(
+            f"No CurveTypes member {name} for the basis risk ladder — "
+            f"add it to utils/global_types.py rather than mislabeling "
+            f"the ladder") from None
 
 
 # backwards-compatible private aliases
@@ -129,10 +137,10 @@ def _fixed_exchange_times(derivative, value_dt):
 def compute_xccy(engine, derivative, reqs: Set[RequestTypes]
                  ) -> AnalyticsResult:
     model = engine.model
-    dom_curve = getattr(model.curves,
-                        derivative._domestic_floating_index.name)
-    for_curve = getattr(model.curves,
-                        derivative._foreign_floating_index.name)
+    # bracket access raises LibError naming the missing curve (strict
+    # routing: never price against a half-populated model)
+    dom_curve = model.curves[derivative._domestic_floating_index.name]
+    for_curve = model.curves[derivative._foreign_floating_index.name]
     xccy_name, xccy_curve = find_xccy_curve(model, derivative)
     value_dt = dom_curve._value_dt
 

@@ -44,7 +44,13 @@ class CurveAccessor:
             raise AttributeError(f"No such curve: {item}")
 
     def __getitem__(self, item):
-        return self._curves[item]
+        try:
+            return self._curves[item]
+        except KeyError:
+            from ..utils.error import LibError
+            raise LibError(
+                f"No such curve in model: {item}. Available: "
+                f"{list(self._curves.keys())}") from None
 
     def __contains__(self, item):
         return item in self._curves

@@ -7,5 +7,7 @@ from .book import (BookAggregate, BookTensors, aggregate_book,
 from .multibook import (ClampSlots, CurveBasket, MultiBook,
                         MultiBookAggregate, MultiBookRows, aggregate_total,
                         compile_multibook, make_multibook_fn,
-                        make_per_trade_delta_fn, make_sharded_multibook_fn,
-                        shard_multibook, tile_multibook, trade_pvs)
+                        make_per_trade_delta_fn, make_per_trade_gamma_fn,
+                        make_sharded_multibook_fn,
+                        shard_multibook, tile_multibook, trade_pvs,
+                        warmup_multibook)

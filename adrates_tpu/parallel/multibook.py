@@ -29,7 +29,9 @@ multi-curve semantics (/root/reference/cavour/market/position/engine.py:
    graph, not B backward passes.
 
 Instruments: OIS, XccyBasisSwap / XccyFixFloat / XccyFixFix, FRN
-(incl. cap/floor and first-fixing), Bond.
+(incl. cap/floor and first-fixing), Bond, ZCIS and YoY inflation swaps
+(inflation curves ride the same flat grid as FACTOR rows; ratio payments
+compile onto the forward-triple table).
 """
 
 from __future__ import annotations
@@ -103,7 +105,7 @@ def _stack_leg_tensors(tensors: Sequence[FloatLegTensor]) -> FloatLegTensor:
 @dataclasses.dataclass
 class _CurveSpec:
     name: str
-    kind: str                      # 'ois' | 'xccy'
+    kind: str                      # 'ois' | 'xccy' | 'infl'
     interp_type: InterpTypes
     n_quotes: int
     offset: int                    # slice start in the packed quote vector
@@ -113,26 +115,33 @@ class _CurveSpec:
 
 
 class CurveBasket:
-    """Compiles a Model's OIS + XCCY curves into one differentiable
-    quotes->grids function over a packed quote vector.
+    """Compiles a Model's OIS + XCCY + inflation curves into one
+    differentiable quotes->grids function over a packed quote vector.
 
     Curve order: OIS curves first (model insertion order), then XCCY
-    curves (which consume the OIS grids). ``specs[i].offset`` locates
-    curve i's quotes inside the packed vector.
+    curves (which consume the OIS grids), then inflation curves (closed
+    form, no dependencies). ``specs[i].offset`` locates curve i's quotes
+    inside the packed vector. Inflation curve rows hold cumulative
+    FACTORS (1+r)^T on the shared time grid instead of discount factors
+    (/root/reference/cavour/market/curves/inflation_curve.py:246-301) —
+    the gather/trip kernels are agnostic to what the numbers mean.
     """
 
     def __init__(self, model, curve_names: Optional[List[str]] = None,
                  recalibrate_xccy: bool = True):
+        from ..market.curves.inflation_curve import InflationCurve
         from ..trades.rates.ois_curve import OISCurve
         from ..trades.rates.xccy_curve import XccyCurve
 
         names = curve_names or [
             n for n, c in model._curves_dict.items()
-            if isinstance(c, (OISCurve, XccyCurve))]
+            if isinstance(c, (OISCurve, XccyCurve, InflationCurve))]
         ois = [(n, model._curves_dict[n]) for n in names
                if isinstance(model._curves_dict[n], OISCurve)]
         xccy = [(n, model._curves_dict[n]) for n in names
                 if isinstance(model._curves_dict[n], XccyCurve)]
+        infl = [(n, model._curves_dict[n]) for n in names
+                if isinstance(model._curves_dict[n], InflationCurve)]
 
         self.model = model
         self.recalibrate_xccy = recalibrate_xccy
@@ -140,7 +149,7 @@ class CurveBasket:
         self.curves: List[object] = []
         self._id_by_name: Dict[str, int] = {}
 
-        params: Dict = {"ois_plans": [], "xccy": []}
+        params: Dict = {"ois_plans": [], "xccy": [], "infl": []}
         quotes0 = []
         offset = 0
         for name, curve in ois:
@@ -178,8 +187,21 @@ class CurveBasket:
                                       dtype=np.float64))
             offset += n_q
 
+        for name, curve in infl:
+            n_q = len(curve.breakeven_rates)
+            self.specs.append(_CurveSpec(name, "infl", curve._interp_type,
+                                         n_q, offset))
+            self._id_by_name[name] = len(self.curves)
+            self.curves.append(curve)
+            params["infl"].append(dict(
+                swap_times=np.asarray(curve.swap_times, dtype=np.float64)))
+            quotes0.append(np.asarray(curve.breakeven_rates,
+                                      dtype=np.float64))
+            offset += n_q
+
         params["ois_plans"] = tuple(params["ois_plans"])
         params["xccy"] = tuple(params["xccy"])
+        params["infl"] = tuple(params["infl"])
         self.params = params
         self.quotes0 = np.concatenate(quotes0) if quotes0 \
             else np.zeros(0)
@@ -207,11 +229,20 @@ class CurveBasket:
         def native(qvec, P):
             grids = []
             xccy_i = 0
+            infl_i = 0
             for i, spec in enumerate(specs):
                 q = lax.dynamic_slice(qvec, (spec.offset,),
                                       (spec.n_quotes,))
                 if spec.kind == "ois":
                     ts, ds = bootstrap_ois(q, P["ois_plans"][i])
+                elif spec.kind == "infl":
+                    # closed-form factor curve (1+r)^T with the t=0 node
+                    # (inflation_curve.py _build_curve_ad parity)
+                    st = P["infl"][infl_i]["swap_times"]
+                    infl_i += 1
+                    ts = jnp.concatenate([jnp.zeros(1, st.dtype), st])
+                    ds = jnp.concatenate(
+                        [jnp.ones(1, st.dtype), jnp.power(1.0 + q, st)])
                 else:
                     xp = P["xccy"][xccy_i]
                     xccy_i += 1
@@ -491,11 +522,74 @@ def _fixed_row(payment_times, amounts, disc_id: int, fx: float, sign: float,
                          m=[]))
 
 
+def _infl_curve_id(basket: CurveBasket, inst) -> int:
+    """The basket id of the instrument's inflation curve (the index's
+    attached curve, else the single inflation curve in the basket —
+    engine_inflation._curves_for semantics)."""
+    from ..market.curves.inflation_curve import InflationCurve
+
+    curve = inst._inflation_index._inflation_curve
+    if curve is not None:
+        for i, c in enumerate(basket.curves):
+            if c is curve:
+                return i
+    cands = [i for i, c in enumerate(basket.curves)
+             if isinstance(c, InflationCurve)]
+    if len(cands) != 1:
+        raise LibError("Inflation trade needs its index's curve in the "
+                       "basket (or exactly one inflation curve)")
+    return cands[0]
+
+
+def _infl_payment(num_ref, den_ref, base_cpi: float, w: float,
+                  spread: float, pay_t: float, row: dict):
+    """Append ONE inflation-ratio payment  w·(cpi_num/cpi_den − 1 +
+    spread)·df(pay)  to a row dict, splitting it into the book's
+    linear/trip primitives (engine_inflation parity: cpi = fixed value
+    when the lagged date has a historical fixing, else
+    seas·base_cpi·factor(t)).
+
+    Future/future ratios are the trip form (F_num/F_den − 1)·df exactly;
+    a fixed side degrades the trip to the inflation curve's t=0 column
+    (factor == 1 there by construction), so one kernel shape covers all
+    four fixed/projected cases. Refs are (is_fixed, value, t, seas)."""
+    n_fixed, n_val, n_t, n_seas = num_ref
+    d_fixed, d_val, d_t, d_seas = den_ref
+
+    if n_fixed and d_fixed:
+        row["fix_t"].append(float(pay_t))
+        row["fix_amt"].append(w * (n_val / d_val - 1.0 + spread))
+        row["fix_m"].append(1.0)
+        return
+    if d_fixed:                   # k·F(n_t), k = seas·base/fixed_den
+        k = n_seas * base_cpi / d_val
+        s_t, e_t = float(n_t), 0.0
+    elif n_fixed:                 # k/F(d_t)
+        k = n_val / (d_seas * base_cpi)
+        s_t, e_t = 0.0, float(d_t)
+    else:                         # k·F(n_t)/F(d_t)
+        k = n_seas / d_seas
+        s_t, e_t = float(n_t), float(d_t)
+    w_trip = w * k                          # on (F_s/F_e − 1)·df_p
+    w_lin = w * (k - 1.0 + spread)          # on df_p
+    flt = row["flt"]
+    flt["pay"].append(float(pay_t))
+    flt["s"].append(s_t)
+    flt["e"].append(e_t)
+    flt["pa"].append(1.0)
+    flt["ia"].append(1.0)
+    flt["sp"].append(w_lin / w_trip)
+    flt["no"].append(w_trip)
+    flt["m"].append(1.0)
+
+
 def _rows_for_instrument(inst, model, basket: CurveBasket, base, value_dt,
-                         trade_id: int, clamp_rows: list) -> list:
+                         trade_id: int, clamp_rows: list,
+                         collateral_type=None) -> list:
     """Compile one instrument into row dicts. Cites the reference
     semantics each row reproduces (engine.py:2639-2728 dual-curve floats,
-    1496-1520 XCCY foreign legs, 505-698 bonds, 700-984 FRNs)."""
+    1496-1520 XCCY foreign legs, 505-698 bonds, 700-984 FRNs,
+    1108-1146 YoY legs, 217-503 OIS under foreign collateral)."""
     from ..market.position.engine_xccy import _float_leg_xccy_tensor, \
         find_xccy_curve
     from ..market.position.engine_credit import _bond_tensor, _frn_tensor
@@ -508,13 +602,49 @@ def _rows_for_instrument(inst, model, basket: CurveBasket, base, value_dt,
         cid = basket.curve_id(inst._floating_index.name)
         curve = basket.curves[cid]
         fx = _fx_to_base(model, inst._currency, base)
-        ft = inst._fixed_leg.tensor(value_dt)
-        lt = inst._float_leg.tensor(value_dt, index_dc=curve._dc_type)
-        rows.append(_fixed_row(ft.payment_times,
-                               np.asarray(ft.payments), cid, fx,
-                               float(ft.leg_sign), trade_id))
-        rows.append(_float_row(lt, cid, cid, fx, trade_id,
-                               clamp_rows))
+
+        coll_ccy = None
+        if collateral_type is not None:
+            from ..utils.global_types import collateral_to_currency
+            coll_ccy = collateral_to_currency(collateral_type)
+            if coll_ccy == inst._currency:
+                coll_ccy = None
+
+        if coll_ccy is None:
+            ft = inst._fixed_leg.tensor(value_dt)
+            lt = inst._float_leg.tensor(value_dt, index_dc=curve._dc_type)
+            rows.append(_fixed_row(ft.payment_times,
+                                   np.asarray(ft.payments), cid, fx,
+                                   float(ft.leg_sign), trade_id))
+            rows.append(_float_row(lt, cid, cid, fx, trade_id,
+                                   clamp_rows))
+        else:
+            # OIS under foreign collateral: project on the natural OIS
+            # curve, discount on the {CCY}_{COLL}_XCCY curve, whose df()
+            # pins ACT/365F query times (engine parity:
+            # engine._compute_ois_xccy_collateral / reference
+            # engine.py:217-503). The curve graph recalibrates the XCCY
+            # grid in-graph, so rate AND basis deltas carry the chain.
+            from ..utils.day_count import DayCountTypes
+            from ..utils.global_types import (CollateralType,
+                                              get_discount_curve_name)
+            disc_name = get_discount_curve_name(
+                inst._currency, CollateralType[coll_ccy.name])
+            if disc_name not in basket._id_by_name:
+                raise LibError(
+                    f"Collateralized OIS needs discount curve "
+                    f"{disc_name} in the basket")
+            disc_id = basket.curve_id(disc_name)
+            ft = inst._fixed_leg.tensor(
+                value_dt, discount_dc=DayCountTypes.ACT_365F)
+            lt = inst._float_leg.tensor(
+                value_dt, index_dc=curve._dc_type,
+                discount_dc=DayCountTypes.ACT_365F)
+            rows.append(_fixed_row(ft.payment_times,
+                                   np.asarray(ft.payments), disc_id, fx,
+                                   float(ft.leg_sign), trade_id))
+            rows.append(_float_row(lt, disc_id, cid, fx, trade_id,
+                                   clamp_rows))
 
     elif itype == InstrumentTypes.XCCY_SWAP:
         xname, xcurve = find_xccy_curve(model, inst)
@@ -589,6 +719,74 @@ def _rows_for_instrument(inst, model, basket: CurveBasket, base, value_dt,
         rows.append(_fixed_row(ft.payment_times, amounts, disc_id, fx,
                                1.0, trade_id))
 
+    elif itype in (InstrumentTypes.ZCIS,
+                   InstrumentTypes.YOY_INFLATION_SWAP):
+        from ..market.position.engine_inflation import _cpi_ref
+        from ..utils.helpers import times_from_dates
+
+        index = inst._inflation_index
+        ccy = index._currency
+        disc_id = basket.curve_id(_DEFAULT_OIS[ccy])
+        infl_id = _infl_curve_id(basket, inst)
+        infl_curve = basket.curves[infl_id]
+        base_cpi = float(infl_curve._base_cpi)
+        fx = _fx_to_base(model, ccy, base)
+
+        if itype == InstrumentTypes.ZCIS:
+            # single exchange (engine_inflation.compute_zcis):
+            # fixed N[(1+r)^T − 1] vs inflation N[I_T/I_b − 1], both
+            # discounted at the ACT/365F payment time
+            if inst._payment_dt > value_dt:
+                pay_t = times_from_dates(inst._payment_dt, value_dt,
+                                         DayCountTypes.ACT_365F)
+                fixed_sign = -1.0 if inst._fixed_leg_type == SwapTypes.PAY \
+                    else 1.0
+                yf = inst.year_frac()
+                fixed_amt = inst._notional \
+                    * ((1.0 + inst._fixed_rate) ** yf - 1.0)
+                row = dict(trade=trade_id, disc=disc_id, proj=infl_id,
+                           fix_t=[float(pay_t)],
+                           fix_amt=[fx * fixed_sign * fixed_amt],
+                           fix_m=[1.0],
+                           flt=dict(pay=[], s=[], e=[], pa=[], ia=[],
+                                    sp=[], no=[], m=[]))
+                b_ref = _cpi_ref(index, infl_curve, inst._effective_dt,
+                                 value_dt)
+                f_ref = _cpi_ref(index, infl_curve, inst._maturity_dt,
+                                 value_dt)
+                _infl_payment(f_ref, b_ref, base_cpi,
+                              fx * (-fixed_sign) * inst._notional, 0.0,
+                              pay_t, row)
+                rows.append(row)
+        else:
+            # YoY: periodic fixed leg + YoY ratio leg
+            # (engine_inflation.compute_yoy_iis / reference
+            # engine.py:1108-1146)
+            ft = inst._fixed_leg.tensor(value_dt)
+            rows.append(_fixed_row(ft.payment_times,
+                                   np.asarray(ft.payments), disc_id, fx,
+                                   float(ft.leg_sign), trade_id))
+            leg = inst._inflation_leg
+            sign = 1.0 if leg._leg_type == SwapTypes.RECEIVE else -1.0
+            row = dict(trade=trade_id, disc=disc_id, proj=infl_id,
+                       fix_t=[], fix_amt=[], fix_m=[],
+                       flt=dict(pay=[], s=[], e=[], pa=[], ia=[], sp=[],
+                                no=[], m=[]))
+            for i in range(len(leg._payment_dts)):
+                if leg._payment_dts[i] <= value_dt:
+                    continue
+                s_ref = _cpi_ref(index, infl_curve, leg._yoy_start_dts[i],
+                                 value_dt)
+                e_ref = _cpi_ref(index, infl_curve, leg._yoy_end_dts[i],
+                                 value_dt)
+                pay_t = times_from_dates(leg._payment_dts[i], value_dt,
+                                         leg._dc_type)
+                w = fx * sign * float(leg._notional) \
+                    * float(leg._year_fracs[i])
+                _infl_payment(e_ref, s_ref, base_cpi, w,
+                              float(leg._spread), pay_t, row)
+            rows.append(row)
+
     else:
         raise LibError(f"MultiBook does not support {itype}")
 
@@ -599,13 +797,23 @@ def compile_multibook(instruments, model,
                       base_currency: CurrencyTypes = CurrencyTypes.GBP,
                       curve_names: Optional[List[str]] = None,
                       n_buckets: int = 4,
-                      recalibrate_xccy: bool = True) -> MultiBook:
+                      recalibrate_xccy: bool = True,
+                      collateral_types: Optional[Sequence] = None
+                      ) -> MultiBook:
     """Compile a heterogeneous multi-currency book against a Model.
 
     Returns a MultiBook whose rows gather from the flat [C*U] DF vector
     produced by ``basket.grids_fn``; all PVs are in ``base_currency``.
+
+    ``collateral_types``: optional per-trade CollateralType list (None
+    entries = natural collateral). An OIS whose collateral currency
+    differs from its own discounts on the {CCY}_{COLL}_XCCY curve.
     """
     from ..utils.observability import timed
+
+    if collateral_types is not None \
+            and len(collateral_types) != len(instruments):
+        raise LibError("collateral_types must parallel instruments")
 
     basket = CurveBasket(model, curve_names,
                          recalibrate_xccy=recalibrate_xccy)
@@ -616,9 +824,11 @@ def compile_multibook(instruments, model,
     with timed("multibook.compile", trades=len(instruments),
                curves=basket.n_curves):
         for t_id, inst in enumerate(instruments):
+            coll = collateral_types[t_id] if collateral_types else None
             rows += _rows_for_instrument(inst, model, basket,
                                          base_currency, value_dt, t_id,
-                                         clamp_rows)
+                                         clamp_rows,
+                                         collateral_type=coll)
 
     intern = _Interner()
     intern.add(0.0)
@@ -1097,6 +1307,97 @@ def aggregate_total(dfs_flat, agg: MultiBookAggregate,
     return total
 
 
+def _gamma_quad_form(J, dfs_flat, agg: MultiBookAggregate,
+                     clamp: Optional[ClampSlots]):
+    """Closed-form Jᵀ·H_agg·J where H_agg = ∂²(aggregate_total)/∂dfs² and
+    J is the [N, C*U] curve jacobian (tangent per ROW).
+
+    The aggregate's Hessian w.r.t. the DF vector is sparse by
+    construction: the linear part contributes nothing, each forward
+    triple v = (a/b - 1)·c (a=df_s, b=df_e, c=df_p) contributes a 3x3
+    block, and each clamp slot a 3x3 block gated by its in-range
+    indicator. Rather than scattering blocks into a [C*U, C*U] matrix
+    (f64 scatter — the worst TPU op class, docs/tpu_f64_notes.md), the
+    quadratic form contracts gathered J columns directly:
+        Σ_t w_t f_xy(t) · J[:,x_t] ⊗ J[:,y_t]  =  (w f_xy ⊙ J_x) @ J_yᵀ
+    — dense [N, T] @ [T, N] MXU matmuls, no scatter anywhere. This is
+    the same split the reference hand-assembles per trade
+    (/root/reference/cavour/market/position/engine.py:2563-2568), done
+    once for the whole book."""
+    a = dfs_flat[agg.trip_s]
+    b = dfs_flat[agg.trip_e]
+    c = dfs_flat[agg.trip_p]
+    w = agg.trip_w
+    Ja = J[:, agg.trip_s]            # [N, T]
+    Jb = J[:, agg.trip_e]
+    Jc = J[:, agg.trip_p]
+    # second partials of (a/b - 1) c:  f_aa = f_cc = 0
+    f_ab = -c / (b * b)
+    f_ac = 1.0 / b
+    f_bb = 2.0 * a * c / (b * b * b)
+    f_bc = -a / (b * b)
+    G = (Ja * (w * f_ab)[None, :]) @ Jb.T
+    G = G + (Ja * (w * f_ac)[None, :]) @ Jc.T
+    G = G + (Jb * (w * f_bc)[None, :]) @ Jc.T
+    G = G + G.T                       # symmetrize the asymmetric pairs
+    G = G + (Jb * (w * f_bb)[None, :]) @ Jb.T
+
+    if clamp is not None:
+        # PV = w·clip((u/v-1)/ia + spread, lo, hi)·p; the clipped rate's
+        # u/v partials vanish outside the cap/floor band (kink itself is
+        # measure-zero, as in AD).
+        u = dfs_flat[clamp.s_idx]
+        v = dfs_flat[clamp.e_idx]
+        p = dfs_flat[clamp.p_idx]
+        has = clamp.ia > 0.0
+        ia = jnp.where(has, clamp.ia, 1.0)
+        pre = jnp.where(has, (u / v - 1.0) / ia, 0.0) + clamp.spread
+        inside = ((pre > clamp.floor) & (pre < clamp.cap)) & has
+        wI = clamp.w * inside.astype(u.dtype)
+        Ju = J[:, clamp.s_idx]
+        Jv = J[:, clamp.e_idx]
+        Jp = J[:, clamp.p_idx]
+        g_uv = -wI * p / (ia * v * v)
+        g_up = wI / (ia * v)
+        g_vp = -wI * u / (ia * v * v)
+        g_vv = 2.0 * wI * p * u / (ia * v * v * v)
+        Gc = (Ju * g_uv[None, :]) @ Jv.T
+        Gc = Gc + (Ju * g_up[None, :]) @ Jp.T
+        Gc = Gc + (Jv * g_vp[None, :]) @ Jp.T
+        Gc = Gc + Gc.T
+        Gc = Gc + (Jv * g_vv[None, :]) @ Jv.T
+        G = G + Gc
+    return G
+
+
+def _scenario_risk(grids, qvec_shocked, P, agg, clamp_agg, want_gamma):
+    """Delta + (optionally) gamma for ONE scenario via the chain-rule
+    split (VERDICT round-2 item 1):
+
+        delta = J @ g,
+        gamma = Jᵀ·H_agg·J  +  Σ_k g_k · ∂²dfs_k/∂q∂q
+
+    with J = ∂dfs/∂q computed by ONE jacfwd of the curve graph (shared
+    by delta, the quad form, and nothing else), g = ∂total/∂dfs one
+    cheap backward of the O(U+T+K) aggregate, and the curve-Hessian
+    term one jacfwd∘grad of the scalar g₀·dfs(q) — the double
+    differentiation never touches the aggregate sweep, whose batched
+    f64 scatter-add transpose under N tangents dominated the plain
+    jacfwd∘jacrev tower."""
+    dfs, jvp_fn = jax.linearize(lambda q: grids(q, P), qvec_shocked)
+    N = qvec_shocked.shape[0]
+    J = jax.vmap(jvp_fn)(jnp.eye(N, dtype=qvec_shocked.dtype))  # [N, C*U]
+    g = jax.grad(lambda d: aggregate_total(d, agg, clamp_agg))(dfs)
+    out = {"delta": J @ g}
+    if want_gamma:
+        term1 = _gamma_quad_form(J, dfs, agg, clamp_agg)
+        g0 = lax.stop_gradient(g)
+        term2 = jax.jacfwd(
+            jax.grad(lambda q: jnp.dot(g0, grids(q, P))))(qvec_shocked)
+        out["gamma"] = term1 + term2
+    return out
+
+
 def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     """Jitted (qvec, shocks [S, N]) -> {pvs [S, B], delta [S, N],
     gamma [S, N, N]}: per-trade PVs from the gather sweep (streamed
@@ -1144,17 +1445,23 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
             lambda d: trade_pvs_cols(d, cbs, cl, n_trades, ag), dfs_all,
             batch_size=min(64, shocks.shape[0]))
 
-    # cap the vmapped tangent temporaries near ~1.5 GB of f64
-    risk_batch = max(1, min(int(2e8 // max(N * CU, 1)), 128))
+    # cap the vmapped tangent temporaries near ~1.5 GB of f64: the
+    # closed-form split holds TWO [batch, N, C*U] tangent stacks live
+    # (J and the curve-Hessian contraction's jacfwd)
+    risk_batch = max(1, min(int(1e8 // max(N * CU, 1)), 64))
 
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):
-        def one_scenario(shock):
-            total = lambda q: aggregate_total(grids(q, P), ag, cl_agg)
-            out = {"delta": jax.jacrev(total)(qvec + shock)}
-            if want_gamma:
-                out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
-            return out
+        if not want_gamma:
+            # delta alone is ONE backward pass — cheaper than the
+            # N-tangent jacfwd the closed-form split needs for J.
+            def one_scenario(shock):
+                total = lambda q: aggregate_total(grids(q, P), ag, cl_agg)
+                return {"delta": jax.jacrev(total)(qvec + shock)}
+        else:
+            def one_scenario(shock):
+                return _scenario_risk(grids, qvec + shock, P, ag, cl_agg,
+                                      True)
 
         return lax.map(one_scenario, shocks,
                        batch_size=min(risk_batch, shocks.shape[0]))
@@ -1169,81 +1476,201 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     return fn
 
 
-def shard_multibook(mb: MultiBook, mesh, axis: str = "book"):
+def warmup_multibook(mb: MultiBook, n_scenarios: int,
+                     want_gamma: bool = True):
+    """Pre-compile the book's PV-sweep and risk programs for EXACTLY the
+    (n_scenarios, n_quotes) shapes a production loop will use, and return
+    the ready fn. With ``adrates_tpu.configure_cache()`` active, the
+    compiles land in the persistent cache: the next process skips them
+    entirely (VERDICT round-2 item 8 — the warmup story belongs to the
+    package, not the bench script)."""
+    fn = make_multibook_fn(mb, want_gamma=want_gamma)
+    shocks = jnp.zeros((n_scenarios, mb.basket.n_quotes))
+    out = fn(jnp.asarray(mb.basket.quotes0), shocks)
+    # force completion: a reduced scalar reaching the host is the only
+    # reliable barrier through tunneled backends
+    # (docs/tpu_operational_notes.md)
+    float(sum(jnp.sum(v) for v in out.values()))
+    return fn
+
+
+def _axis_names(axis) -> tuple:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _pad_bucket(b: MultiBookRows, pad: int) -> MultiBookRows:
+    """Append ``pad`` dead rows (zero weights/masks -> zero PV; trade 0
+    receives +0.0). Works on numpy AND traced jnp tensors."""
+    if pad == 0:
+        return b
+
+    def ext(x):
+        xp = jnp if isinstance(x, jnp.ndarray) else np
+        return xp.concatenate(
+            [x, xp.zeros((pad,) + x.shape[1:], dtype=x.dtype)])
+
+    return MultiBookRows(**{f.name: ext(getattr(b, f.name))
+                            for f in dataclasses.fields(MultiBookRows)})
+
+
+def _pad_clamp(c: ClampSlots, pad: int) -> ClampSlots:
+    if pad == 0:
+        return c
+
+    def ext(x):
+        xp = jnp if isinstance(x, jnp.ndarray) else np
+        return xp.concatenate(
+            [x, xp.zeros((pad,) + x.shape[1:], dtype=x.dtype)])
+
+    return ClampSlots(**{f.name: ext(getattr(c, f.name))
+                         for f in dataclasses.fields(ClampSlots)})
+
+
+def shard_multibook(mb: MultiBook, mesh, axis="book"):
     """Place a multibook's row/clamp tensors with their leading axis
-    sharded across the mesh (curve params and the aggregate replicated)."""
+    sharded across the mesh (curve params and the aggregate replicated).
+
+    ``axis`` may be one mesh axis name or a tuple (e.g. ("dcn", "book")
+    on a 2-D process x chip mesh — rows shard over BOTH). Row counts
+    that don't divide the shard count are padded with dead rows (zero
+    weights -> zero PV) HERE, not by the caller (VERDICT r2 item 6)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mb.tile is not None:
-        raise LibError("shard_multibook needs materialized rows — tile "
-                       "with materialize=True")
+        raise LibError(
+            "shard_multibook places materialized rows; for a lazy "
+            "TileSpec book pass the MultiBook straight to "
+            "make_sharded_multibook_fn, which expands ON DEVICE into "
+            "sharded rows (no full-size host array is ever built)")
+
+    axes = _axis_names(axis)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     buckets = tuple(MultiBookRows(**{
         f.name: put(getattr(b, f.name),
-                    P(axis, None) if np.asarray(
-                        getattr(b, f.name)).ndim == 2 else P(axis))
-        for f in dataclasses.fields(MultiBookRows)})
-        for b in mb.buckets)
+                    P(axes, None) if np.asarray(
+                        getattr(b, f.name)).ndim == 2 else P(axes))
+        for f in dataclasses.fields(
+            MultiBookRows)}) for b in (
+        _pad_bucket(b, (-b.fix_idx.shape[0]) % n_shards)
+        for b in mb.buckets))
     clamp = None
     if mb.clamp is not None:
+        c = _pad_clamp(mb.clamp, (-mb.clamp.w.shape[0]) % n_shards)
         clamp = ClampSlots(**{
-            f.name: put(getattr(mb.clamp, f.name), P(axis))
+            f.name: put(getattr(c, f.name), P(axes))
             for f in dataclasses.fields(ClampSlots)})
     return dataclasses.replace(mb, buckets=buckets, clamp=clamp)
 
 
-def make_sharded_multibook_fn(mb: MultiBook, mesh, axis: str = "book",
+def make_sharded_multibook_fn(mb: MultiBook, mesh, axis="book",
                               want_gamma: bool = True):
     """Multibook analytics under GSPMD: rows sharded over the mesh, quote
     vector and curve graph replicated; the per-trade scatter-add and
-    portfolio aggregates ride ICI collectives inserted by XLA."""
+    portfolio aggregates ride ICI collectives inserted by XLA.
+
+    Accepts materialized books (rows placed via ``shard_multibook`` or
+    placed here) AND lazy ``TileSpec`` books: the lazy path device-puts
+    only the base rows (MBs) and runs the tile expansion as a jitted
+    step with SHARDED out_shardings, so the full-size row tensors exist
+    only as device shards — the ~GB host->device transfer the TileSpec
+    design exists to avoid never happens (VERDICT r2 item 7). On a 2-D
+    (dcn, ici) mesh pass ``axis=("dcn", "book")``; shocks/quotes stay
+    replicated so the only cross-slice traffic is the final psum."""
     from functools import partial
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if mb.tile is not None:
-        raise LibError("make_sharded_multibook_fn needs materialized "
-                       "rows — tile with materialize=True")
+    axes = _axis_names(axis)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    repl = NamedSharding(mesh, P())
+    row2 = NamedSharding(mesh, P(axes, None))
+    row1 = NamedSharding(mesh, P(axes))
 
     basket = mb.basket
     grids = basket.grids
-    repl = NamedSharding(mesh, P())
     params = jax.device_put(basket.params, repl)
+    # aggregate carries the TILED totals already (lazy or materialized)
     agg = jax.device_put(mb.aggregate, repl)
+    clamp_agg = _agg_clamp(
+        jax.device_put(mb.clamp, repl) if mb.clamp is not None else None,
+        jax.device_put(mb.tile, repl) if mb.tile is not None else None)
     n_trades = mb.n_trades
 
     row_shard = MultiBookRows(**{
-        f.name: NamedSharding(mesh, P(axis, None))
-        if f.name != "row_trade" else NamedSharding(mesh, P(axis))
+        f.name: row2 if f.name != "row_trade" else row1
         for f in dataclasses.fields(MultiBookRows)})
-    bucket_shardings = tuple(row_shard for _ in mb.buckets)
-    clamp_shard = None if mb.clamp is None else ClampSlots(**{
-        f.name: NamedSharding(mesh, P(axis))
-        for f in dataclasses.fields(ClampSlots)})
+    clamp_shard = ClampSlots(**{
+        f.name: row1 for f in dataclasses.fields(ClampSlots)})
 
+    if mb.tile is None:
+        buckets = tuple(_pad_bucket(b, (-b.fix_idx.shape[0]) % n_shards)
+                        for b in mb.buckets)
+        clamp = mb.clamp if mb.clamp is None else _pad_clamp(
+            mb.clamp, (-mb.clamp.w.shape[0]) % n_shards)
+        already = getattr(mb.buckets[0].fix_idx, "sharding", None)
+        if not isinstance(already, NamedSharding):
+            buckets = tuple(MultiBookRows(**{
+                f.name: jax.device_put(
+                    getattr(b, f.name),
+                    row2 if np.asarray(getattr(b, f.name)).ndim == 2
+                    else row1)
+                for f in dataclasses.fields(MultiBookRows)})
+                for b in buckets)
+            if clamp is not None:
+                clamp = ClampSlots(**{
+                    f.name: jax.device_put(getattr(clamp, f.name), row1)
+                    for f in dataclasses.fields(ClampSlots)})
+    else:
+        # lazy: replicate the small base book, expand+pad in-graph with
+        # sharded outputs (its own program — inlining the expansion into
+        # the pricing graph crashes the XLA:TPU compiler, see
+        # _device_expand)
+        base_bks = jax.device_put(mb.buckets, repl)
+        base_cl = jax.device_put(mb.clamp, repl) \
+            if mb.clamp is not None else None
+        tile_dev = jax.device_put(mb.tile, repl)
+
+        out_bk_shards = tuple(row_shard for _ in mb.buckets)
+        out_cl_shard = clamp_shard if mb.clamp is not None else None
+
+        @partial(jax.jit, out_shardings=(out_bk_shards, out_cl_shard))
+        def expand_sharded(bks, cl, tl):
+            ebks = tuple(
+                _pad_bucket(eb, (-eb.fix_idx.shape[0]) % n_shards)
+                for eb in (_expand_rows(b, tl) for b in bks))
+            ecl = None
+            if cl is not None:
+                ec = _expand_clamp(cl, tl)
+                ecl = _pad_clamp(ec, (-ec.w.shape[0]) % n_shards)
+            return ebks, ecl
+
+        buckets, clamp = expand_sharded(base_bks, base_cl, tile_dev)
+
+    bucket_shardings = tuple(row_shard for _ in buckets)
+    cl_sharding = None if clamp is None else clamp_shard
+
+    # clamp_agg rides as a jit ARGUMENT, never a closure constant
+    # (f64 closure constants run at f32 in fused TPU ops,
+    # docs/tpu_f64_notes.md)
     @partial(jax.jit, in_shardings=(repl, repl, bucket_shardings,
-                                    clamp_shard, repl, repl))
-    def _fn(qvec, Pp, bks, cl, ag, shocks):
+                                    cl_sharding, repl, repl, repl))
+    def _fn(qvec, Pp, bks, cl, ag, cl_ag, shocks):
         def one_scenario(shock):
             dfs_flat = grids(qvec + shock, Pp)
             pvs = trade_pvs(dfs_flat, bks, cl, n_trades)
-            total = lambda q: aggregate_total(grids(q, Pp), ag, cl)
-            out = {"total_pv": jnp.sum(pvs),
-                   "delta": jax.jacrev(total)(qvec + shock)}
-            if want_gamma:
-                out["gamma"] = jax.jacfwd(jax.jacrev(total))(qvec + shock)
+            out = _scenario_risk(grids, qvec + shock, Pp, ag, cl_ag,
+                                 want_gamma)
+            out["total_pv"] = jnp.sum(pvs)
             return out
         return jax.vmap(one_scenario)(shocks)
 
-    buckets = mb.buckets
-    clamp = mb.clamp
-
     def fn(qvec, shocks):
         return _fn(jnp.asarray(qvec), params, buckets, clamp, agg,
-                   jnp.asarray(shocks))
+                   clamp_agg, jnp.asarray(shocks))
 
     return fn
 
@@ -1251,6 +1678,172 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis: str = "book",
 # ---------------------------------------------------------------------------
 # per-trade delta ladders (VERDICT round-1 item 4)
 # ---------------------------------------------------------------------------
+
+
+def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
+    """Jitted (qvec) -> [B_sel, N, N] EXACT per-trade gamma matrices for
+    a selected set of trades (ccy units per unit-rate²; multiply by 1e-8
+    for per-bp²), via the same chain-rule split as the book gamma
+    (VERDICT round-2 item 4):
+
+        gamma_b = Jᵀ·H_b·J + Σ_k g_bk · ∂²dfs_k/∂q∂q
+
+    H_b (the trade's own DF-space Hessian) is closed form over its trip
+    and clamp slots — batched einsums, no AD through the sweep. The
+    curve Hessian tensor H_curve[k, i, j] is ONE jacfwd∘jacfwd of the
+    curve graph SHARED by every selected trade; the per-trade
+    contraction is a dense [B, C*U] @ [C*U, N²] MXU matmul. Cost scales
+    with N²·(C·U) once plus B·C·U·N² for the contraction — select
+    trades rather than asking for all 100k (a full book's [B, N, N] is
+    terabytes; the reference assembles the same per-position shape one
+    trade at a time, engine.py:2563-2568)."""
+    sel = np.asarray(trade_ids, dtype=np.int64)
+    B_sel = sel.shape[0]
+    CU = mb.basket.n_curves * mb.unique_times.shape[0]
+
+    if mb.tile is not None:
+        B_base = mb.tile.base_trades
+        mult = np.asarray(mb.tile.scale)[sel // B_base]
+        rows_of = sel % B_base
+    else:
+        mult = np.ones(B_sel)
+        rows_of = sel
+
+    # host-side slot harvest for the selected trades
+    agg = mb.aggregate
+    lin, trip, clamp_sl = [], [], []
+    # duplicate base rows (same base trade selected in several copies)
+    # need one entry per SELECTION, not per base trade
+    sel_of_base: Dict[int, list] = {}
+    for k, t in enumerate(rows_of):
+        sel_of_base.setdefault(int(t), []).append(k)
+
+    for cb in mb.cols:
+        ci = np.asarray(cb.col_idx)
+        w = np.asarray(cb.w)
+        rt = np.asarray(cb.row_trade)
+        for r in np.nonzero(np.isin(rt, rows_of))[0]:
+            for k in sel_of_base[int(rt[r])]:
+                live = w[r] != 0.0
+                cols = ci[r][live]
+                ws = w[r][live] * mult[k]
+                is_trip = cols >= CU
+                for c, wv in zip(cols[~is_trip], ws[~is_trip]):
+                    lin.append((k, int(c), float(wv)))
+                for c, wv in zip(cols[is_trip], ws[is_trip]):
+                    t_i = int(c) - CU
+                    trip.append((k, int(agg.trip_s[t_i]),
+                                 int(agg.trip_e[t_i]),
+                                 int(agg.trip_p[t_i]), float(wv)))
+    if mb.clamp is not None:
+        c = mb.clamp
+        st = np.asarray(c.slot_trade)
+        for r in np.nonzero(np.isin(st, rows_of))[0]:
+            for k in sel_of_base[int(st[r])]:
+                clamp_sl.append((k, int(c.s_idx[r]), int(c.e_idx[r]),
+                                 int(c.p_idx[r]), float(c.ia[r]),
+                                 float(c.w[r]) * mult[k],
+                                 float(c.spread[r]), float(c.cap[r]),
+                                 float(c.floor[r])))
+
+    lin_arr = np.asarray(lin, dtype=np.float64).reshape(-1, 3)
+    trip_arr = np.asarray(trip, dtype=np.float64).reshape(-1, 5)
+    cl_arr = np.asarray(clamp_sl, dtype=np.float64).reshape(-1, 9)
+
+    T = dict(
+        lin_b=lin_arr[:, 0].astype(np.int32),
+        lin_c=lin_arr[:, 1].astype(np.int32),
+        lin_w=lin_arr[:, 2],
+        tr_b=trip_arr[:, 0].astype(np.int32),
+        tr_s=trip_arr[:, 1].astype(np.int32),
+        tr_e=trip_arr[:, 2].astype(np.int32),
+        tr_p=trip_arr[:, 3].astype(np.int32),
+        tr_w=trip_arr[:, 4],
+        cl_b=cl_arr[:, 0].astype(np.int32),
+        cl_s=cl_arr[:, 1].astype(np.int32),
+        cl_e=cl_arr[:, 2].astype(np.int32),
+        cl_p=cl_arr[:, 3].astype(np.int32),
+        cl_ia=cl_arr[:, 4], cl_w=cl_arr[:, 5], cl_sp=cl_arr[:, 6],
+        cl_cap=cl_arr[:, 7], cl_lo=cl_arr[:, 8])
+
+    basket = mb.basket
+    grids = basket.grids
+    params = jax.device_put(basket.params)
+    tables = jax.device_put(T)
+
+    @jax.jit
+    def _fn(qvec, P, tb):
+        dfs, jvp_fn = jax.linearize(lambda q: grids(q, P), qvec)
+        N = qvec.shape[0]
+        J = jax.vmap(jvp_fn)(jnp.eye(N, dtype=qvec.dtype))   # [N, CU]
+
+        # per-trade DF-space gradient G [B_sel, CU] (closed form)
+        G = jnp.zeros((B_sel, CU))
+        G = G.at[tb["lin_b"], tb["lin_c"]].add(tb["lin_w"])
+        a = dfs[tb["tr_s"]]
+        b_ = dfs[tb["tr_e"]]
+        c_ = dfs[tb["tr_p"]]
+        w = tb["tr_w"]
+        G = G.at[tb["tr_b"], tb["tr_s"]].add(w * c_ / b_)
+        G = G.at[tb["tr_b"], tb["tr_e"]].add(-w * a * c_ / (b_ * b_))
+        G = G.at[tb["tr_b"], tb["tr_p"]].add(w * (a / b_ - 1.0))
+
+        # trade Hessian quad form: [B, N, N] via slot einsums
+        Ja = J[:, tb["tr_s"]].T        # [P, N]
+        Jb = J[:, tb["tr_e"]].T
+        Jc = J[:, tb["tr_p"]].T
+        f_ab = -c_ / (b_ * b_)
+        f_ac = 1.0 / b_
+        f_bb = 2.0 * a * c_ / (b_ * b_ * b_)
+        f_bc = -a / (b_ * b_)
+
+        def quad(bi, wf, X, Y):
+            M = jnp.einsum("p,pn,pm->pnm", wf, X, Y)
+            out = jnp.zeros((B_sel, X.shape[1], X.shape[1]))
+            return out.at[bi].add(M)
+
+        bi = tb["tr_b"]
+        Gm = quad(bi, w * f_ab, Ja, Jb)
+        Gm = Gm + quad(bi, w * f_ac, Ja, Jc)
+        Gm = Gm + quad(bi, w * f_bc, Jb, Jc)
+        Gm = Gm + jnp.swapaxes(Gm, 1, 2)
+        Gm = Gm + quad(bi, w * f_bb, Jb, Jb)
+
+        if tb["cl_b"].shape[0]:
+            u = dfs[tb["cl_s"]]
+            v = dfs[tb["cl_e"]]
+            p = dfs[tb["cl_p"]]
+            has = tb["cl_ia"] > 0.0
+            ia = jnp.where(has, tb["cl_ia"], 1.0)
+            pre = jnp.where(has, (u / v - 1.0) / ia, 0.0) + tb["cl_sp"]
+            rate = jnp.clip(pre, tb["cl_lo"], tb["cl_cap"])
+            inside = ((pre > tb["cl_lo"]) & (pre < tb["cl_cap"])) & has
+            wI = tb["cl_w"] * inside.astype(u.dtype)
+            cb_ = tb["cl_b"]
+            G = G.at[cb_, tb["cl_p"]].add(tb["cl_w"] * rate)
+            G = G.at[cb_, tb["cl_s"]].add(wI * p / (ia * v))
+            G = G.at[cb_, tb["cl_e"]].add(-wI * p * u / (ia * v * v))
+            Ju = J[:, tb["cl_s"]].T
+            Jv = J[:, tb["cl_e"]].T
+            Jp = J[:, tb["cl_p"]].T
+            Gc = quad(cb_, -wI * p / (ia * v * v), Ju, Jv)
+            Gc = Gc + quad(cb_, wI / (ia * v), Ju, Jp)
+            Gc = Gc + quad(cb_, -wI * u / (ia * v * v), Jv, Jp)
+            Gc = Gc + jnp.swapaxes(Gc, 1, 2)
+            Gc = Gc + quad(cb_, 2.0 * wI * p * u / (ia * v ** 3), Jv, Jv)
+            Gm = Gm + Gc
+
+        # curve-Hessian tensor, shared by every selected trade
+        H = jax.jacfwd(jax.jacfwd(
+            lambda q: grids(q, P)))(qvec)                 # [CU, N, N]
+        N_ = H.shape[1]
+        Gm = Gm + (G @ H.reshape(CU, N_ * N_)).reshape(B_sel, N_, N_)
+        return Gm
+
+    def fn(qvec):
+        return _fn(jnp.asarray(qvec), params, tables)
+
+    return fn
 
 
 def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):

@@ -3,12 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.md flagship config): bootstrap 10 curves across
-7 currencies (7 OIS + 3 XCCY), revalue a 100k-trade MIXED book
-(OIS + XCCY basis swaps + FRNs incl. capped + bonds, mixed day counts/
+Headline metric (BASELINE.md flagship config, incl. config 4's inflation
+book): bootstrap 12 curves across 7 currencies (7 OIS + 3 XCCY + 2
+inflation), revalue a 100k-trade MIXED book (OIS + XCCY basis swaps +
+FRNs incl. capped + bonds + ZCIS + YoY inflation swaps, mixed day counts/
 frequencies/pay lags/directions, seasoned and forward-starting trades)
 x 100 scenarios with the full cross-curve delta ladder and NxN gamma
-(N = every quote on every curve) per scenario.
+(N = every quote on every curve: rates + basis spreads + breakevens)
+per scenario.
 
 Baseline: the reference prices ONE swap's PV+delta+gamma in ~40 ms on CPU
 (README.md:464-466), i.e. ~25 trade-scenarios/sec.
@@ -18,6 +20,7 @@ book sweep wall-clock, per-trade-ladder cost.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -42,7 +45,8 @@ XCCY_TENORS = ["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"]
 
 
 def build_model():
-    from adrates_tpu.utils import Date, DayCountTypes, InterpTypes
+    from adrates_tpu.utils import (Date, DayCountTypes,
+                                   InflationIndexTypes, InterpTypes)
     from adrates_tpu.models import Model
 
     value_dt = Date(1, 1, 2024)
@@ -89,6 +93,19 @@ def build_model():
             name=name, domestic_curve_name=dom, foreign_curve_name=forn,
             basis_spreads=[spr + 0.5 * i for i in range(len(XCCY_TENORS))],
             tenor_list=XCCY_TENORS, spot_fx=fx)
+
+    # inflation (BASELINE config 4 folded into the flagship): breakevens
+    # join the packed quote vector, so the NxN gamma spans rates + basis
+    # + inflation
+    m.build_inflation_curve(
+        "GBP_RPI_INFLATION", base_cpi=293.0,
+        breakeven_list=[3.9, 3.75, 3.6, 3.5, 3.45, 3.5, 3.45, 3.35],
+        tenor_list=["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"])
+    m.build_inflation_curve(
+        "USD_CPI_INFLATION", base_cpi=308.0,
+        breakeven_list=[2.6, 2.45, 2.4, 2.35, 2.35, 2.4, 2.45, 2.4],
+        tenor_list=["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"],
+        index_type=InflationIndexTypes.US_CPI_U)
     return m
 
 
@@ -188,18 +205,42 @@ def build_base_trades(model, rng):
                 if j % 2 else FrequencyTypes.ANNUAL,
                 dc_type=dc, currency=ccy,
                 face_value=float(rng.uniform(1e6, 1e7))))
+
+    # inflation: ZCIS + YoY on both indices (BASELINE config 4)
+    from adrates_tpu.trades.rates import (YoYInflationSwap,
+                                          ZeroCouponInflationSwap)
+    for infl_name in ["GBP_RPI_INFLATION", "USD_CPI_INFLATION"]:
+        index = model.curves[infl_name]._used_swaps[0]._inflation_index
+        for j, ten in enumerate(["2Y", "5Y", "10Y", "20Y", "30Y"]):
+            trades.append(ZeroCouponInflationSwap(
+                effective_dt=value_dt, term_dt_or_tenor=ten,
+                fixed_leg_type=SwapTypes.PAY if j % 2 else
+                SwapTypes.RECEIVE,
+                fixed_rate=float(rng.uniform(0.02, 0.04)),
+                inflation_index=index,
+                notional=float(rng.uniform(1e6, 1e7))))
+            trades.append(YoYInflationSwap(
+                effective_dt=value_dt, term_dt_or_tenor=ten,
+                fixed_leg_type=SwapTypes.RECEIVE if j % 2 else
+                SwapTypes.PAY,
+                fixed_rate=float(rng.uniform(0.02, 0.04)),
+                inflation_index=index,
+                freq_type=FrequencyTypes.ANNUAL,
+                notional=float(rng.uniform(1e6, 1e7)),
+                inflation_spread=float(rng.uniform(-0.001, 0.001))))
     return trades
 
 
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/adrates_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    import adrates_tpu
+
+    # the package-level persistent-cache story (VERDICT r2 item 8): the
+    # second process to run this bench pays ZERO compile time
+    cache_dir = adrates_tpu.configure_cache(
+        os.environ.get("ADRATES_CACHE_DIR", "/tmp/adrates_jax_cache"))
+    log(f"persistent compile cache: {cache_dir}")
 
     import jax.numpy as jnp
 
@@ -210,17 +251,20 @@ def main():
     from adrates_tpu.parallel import (compile_multibook,
                                       make_multibook_fn,
                                       make_per_trade_delta_fn,
-                                      tile_multibook)
+                                      tile_multibook, warmup_multibook)
     from adrates_tpu.trades.rates import OIS
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     rng = np.random.default_rng(7)
+    phases = {}
 
-    # --- config 1: build 10 curves (7 OIS + 3 XCCY) ---------------------
+    # --- config 1: build 12 curves (7 OIS + 3 XCCY + 2 inflation) -------
     t0 = time.perf_counter()
     model = build_model()
-    log(f"build 10 curves / 7 currencies (cold, incl. compile+refit): "
-        f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
+    phases["curve_build_cold_ms"] = round(
+        (time.perf_counter() - t0) * 1e3, 1)
+    log(f"build 12 curves / 7 currencies (cold, incl. compile+refit): "
+        f"{phases['curve_build_cold_ms']:.0f} ms")
 
     curve = model.curves.GBP_OIS_SONIA
     from adrates_tpu.ops.bootstrap import bootstrap_ois
@@ -234,9 +278,10 @@ def main():
     # scalar fetch: block_until_ready can return early through the
     # tunneled backend; a reduced value reaching the host is ground truth
     float(jnp.sum(out[1]))
+    phases["bootstrap_warm_ms"] = round(
+        (time.perf_counter() - t0) / 100 * 1e3, 3)
     log(f"bootstrap 32-pillar (warm, jitted): "
-        f"{(time.perf_counter() - t0) / 100 * 1e3:.3f} ms "
-        f"(reference ~50 ms)")
+        f"{phases['bootstrap_warm_ms']:.3f} ms (reference ~50 ms)")
 
     # --- config 2: single 10Y swap PV+delta+gamma (warm latency) --------
     swap = OIS(model.value_dt, "10Y", SwapTypes.RECEIVE, 0.0387,
@@ -251,8 +296,10 @@ def main():
     n_rep = 20
     for _ in range(n_rep):
         pos.compute(reqs)
+    phases["single_swap_warm_ms"] = round(
+        (time.perf_counter() - t0) / n_rep * 1e3, 2)
     log(f"10Y swap PV+delta+gamma (warm): "
-        f"{(time.perf_counter() - t0) / n_rep * 1e3:.2f} ms "
+        f"{phases['single_swap_warm_ms']:.2f} ms "
         f"(reference ~40 ms delta+gamma)")
 
     # --- config 3: 100k mixed multi-currency book x 100 scenarios -------
@@ -267,8 +314,9 @@ def main():
                         notional_scale=rng.uniform(0.5, 2.0, n_copies))
     n_total = mb.n_trades
     N = mb.basket.n_quotes
+    phases["trade_compile_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     log(f"compile {n_base} base trades -> tile to {n_total} "
-        f"({(time.perf_counter() - t0) * 1e3:.0f} ms, "
+        f"({phases['trade_compile_ms']:.0f} ms, "
         f"unique times {mb.unique_times.shape[0]}, quotes {N}, "
         f"bucket pads {[b.fix_idx.shape[1] for b in mb.buckets]}, "
         f"clamp slots "
@@ -286,11 +334,13 @@ def main():
 
     def run_config(want_gamma, n_scen_try):
         sh = shocks[:n_scen_try]
-        fn = make_multibook_fn(mb, want_gamma=want_gamma)
         t0 = time.perf_counter()
-        fetch(fn(q0, sh))
-        log(f"book fn compile+first run (gamma={want_gamma}, "
-            f"S={n_scen_try}): {(time.perf_counter() - t0) * 1e3:.0f} ms")
+        fn = warmup_multibook(mb, n_scen_try, want_gamma=want_gamma)
+        phases["warmup_compile_first_run_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        log(f"warmup_multibook (compile+first run, gamma={want_gamma}, "
+            f"S={n_scen_try}): "
+            f"{phases['warmup_compile_first_run_ms']:.0f} ms")
         t0 = time.perf_counter()
         fetch(fn(q0, sh))
         return time.perf_counter() - t0
@@ -316,6 +366,7 @@ def main():
         raise SystemExit("all book configs failed on this device")
 
     trades_per_sec = n_total * n_scen_used / book_s
+    phases["book_warm_ms"] = round(book_s * 1e3, 1)
     log(f"100k mixed multi-ccy book x {n_scen_used} scenarios ({label}): "
         f"{book_s * 1e3:.0f} ms -> {trades_per_sec:,.0f} "
         f"trade-scenarios/sec")
@@ -326,17 +377,28 @@ def main():
         float(jnp.sum(per_trade(q0)))
         t0 = time.perf_counter()
         float(jnp.sum(per_trade(q0)))
+        phases["per_trade_ladders_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
         log(f"per-trade delta ladders [{n_total} x {N}]: "
-            f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
+            f"{phases['per_trade_ladders_ms']:.0f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"per-trade ladder config failed: {type(e).__name__}: {e}")
+
+    # per-phase artifact (VERDICT r2 item 9): attribute round-over-round
+    # regressions without re-deriving the split from stderr
+    phases["n_trades"] = n_total
+    phases["n_scenarios"] = n_scen_used
+    phases["n_quotes"] = N
+    with open("bench_phases.json", "w") as f:
+        json.dump(phases, f, indent=1)
+    log(f"phases: {json.dumps(phases)}")
 
     baseline_trades_per_sec = 25.0
     result = {
         "metric": "book_pv_delta_gamma_trades_per_sec",
         "value": round(trades_per_sec, 1),
-        "unit": f"trade-scenarios/sec (100k mixed multi-ccy book x "
-                f"{n_scen_used} scenarios, {label})",
+        "unit": f"trade-scenarios/sec (100k mixed multi-ccy+inflation "
+                f"book x {n_scen_used} scenarios, {label})",
         "vs_baseline": round(trades_per_sec / baseline_trades_per_sec, 1),
     }
     print(json.dumps(result), flush=True)

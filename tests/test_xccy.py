@@ -271,6 +271,67 @@ class TestXccyRisk:
         assert np.any(cg.risk_matrix != 0.0)
 
 
+class TestStrictCurveRouting:
+    """Mismatched XCCY pairs must raise, never silently discount on some
+    other pair's basis curve (VERDICT round-2 item 5)."""
+
+    def test_missing_ois_curve_raises_libError(self, model):
+        from adrates_tpu.utils import LibError
+        bad = XccyBasisSwap(
+            VALUE_DT, "5Y", 100e6, 100e6 / 1.09, 0.0, -0.001,
+            FrequencyTypes.ANNUAL, FrequencyTypes.ANNUAL,
+            DayCountTypes.ACT_360, DayCountTypes.ACT_360,
+            CurveTypes.USD_OIS_SOFR, CurveTypes.EUR_OIS_ESTR,
+            CurrencyTypes.USD, CurrencyTypes.EUR)
+        with pytest.raises(LibError, match="EUR_OIS_ESTR"):
+            bad.position(model).compute([RequestTypes.VALUE])
+
+    def test_mismatched_pair_raises_naming_the_pair(self):
+        """A model holding exactly ONE XccyCurve of the WRONG pair must
+        raise (the pre-round-3 fallback silently used it)."""
+        from adrates_tpu.utils import LibError
+        m = Model(VALUE_DT)
+        for name, rates, dc in [
+                ("USD_OIS_SOFR", [5.3, 5.0, 4.6], DayCountTypes.ACT_360),
+                ("GBP_OIS_SONIA", [5.0, 4.7, 4.3], DayCountTypes.ACT_365F),
+                ("EUR_OIS_ESTR", [3.9, 3.6, 3.2], DayCountTypes.ACT_360)]:
+            m.build_curve(name, px_list=rates,
+                          tenor_list=["1Y", "2Y", "5Y"],
+                          fixed_dcc_type=dc, float_dc_type=dc,
+                          interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_xccy_curve(name="GBP_USD_BASIS",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=[-2.0, -5.0],
+                           tenor_list=["1Y", "5Y"], spot_fx=SPOT_FX)
+        bad = XccyBasisSwap(
+            VALUE_DT, "5Y", 100e6, 100e6 / 1.09, 0.0, -0.001,
+            FrequencyTypes.ANNUAL, FrequencyTypes.ANNUAL,
+            DayCountTypes.ACT_360, DayCountTypes.ACT_360,
+            CurveTypes.USD_OIS_SOFR, CurveTypes.EUR_OIS_ESTR,
+            CurrencyTypes.USD, CurrencyTypes.EUR)
+        with pytest.raises(LibError, match="EUR_OIS_ESTR/USD_OIS_SOFR"):
+            bad.position(m).compute([RequestTypes.VALUE])
+
+    def test_explicit_fallback_optin(self, model):
+        from adrates_tpu.market.position.engine_xccy import find_xccy_curve
+        bad = XccyBasisSwap(
+            VALUE_DT, "5Y", 100e6, 100e6 / 1.09, 0.0, -0.001,
+            FrequencyTypes.ANNUAL, FrequencyTypes.ANNUAL,
+            DayCountTypes.ACT_360, DayCountTypes.ACT_360,
+            CurveTypes.USD_OIS_SOFR, CurveTypes.EUR_OIS_ESTR,
+            CurrencyTypes.USD, CurrencyTypes.EUR)
+        name, curve = find_xccy_curve(model, bad, allow_fallback=True)
+        assert name == "GBP_USD_BASIS"
+
+    def test_unknown_basis_label_raises(self):
+        from adrates_tpu.market.position.engine_xccy import \
+            basis_curve_type
+        from adrates_tpu.utils import LibError
+        with pytest.raises(LibError, match="CHF_CAD_BASIS"):
+            basis_curve_type(CurrencyTypes.CHF, CurrencyTypes.CAD)
+
+
 class TestFixFloatAndFixFix:
     def test_fix_float_engine_equals_direct(self, model, xccy):
         ff = XccyFixFloat(VALUE_DT, "5Y", 100e6, 100e6 / SPOT_FX,
