@@ -32,7 +32,8 @@ import numpy as np
 from ...ops.bootstrap import bootstrap_ois
 from ...ops.pricers import pv_fixed_leg, pv_float_leg
 from ...requests.results import (AnalyticsResult, CashflowItem, Cashflows,
-                                 CrossGamma, Delta, Gamma, Risk, Valuation)
+                                 CrossGamma, Delta, Gamma, Risk, Speed,
+                                 Valuation)
 from ...utils.error import LibError
 from ...utils.global_types import (CollateralType, InstrumentTypes,
                                    RequestTypes, SwapTypes,
@@ -170,7 +171,7 @@ class Engine:
         plan = curve._plan
         interp_type = curve._interp_type
         want = (RequestTypes.VALUE in reqs, RequestTypes.DELTA in reqs,
-                RequestTypes.GAMMA in reqs)
+                RequestTypes.GAMMA in reqs, RequestTypes.SPEED in reqs)
         if not any(want):  # e.g. CASHFLOWS-only requests
             return {}
         key = ("swap", self._tensor_signature(fixed_tensor),
@@ -204,6 +205,14 @@ class Engine:
                 if want[2]:
                     parts.append(jax.jacfwd(jax.jacrev(pv_fn))(rates)
                                  .ravel())
+                if want[3]:
+                    # third order (SPEED): one more forward level over
+                    # the gamma tower — the custom_linear_solve bootstrap
+                    # keeps every extra AD order O(log depth)
+                    # (ops/bootstrap.py). The reference defines the
+                    # request type but never implements it.
+                    parts.append(jax.jacfwd(jax.jacfwd(
+                        jax.jacrev(pv_fn)))(rates).ravel())
                 return jnp.concatenate(parts)
 
             fn = jax.jit(analytics)
@@ -226,6 +235,9 @@ class Engine:
             pos += n
         if want[2]:
             out["gamma"] = packed[pos:pos + n * n].reshape(n, n)
+            pos += n * n
+        if want[3]:
+            out["speed"] = packed[pos:pos + n ** 3].reshape(n, n, n)
         return out
 
     def _package_outputs(self, raw: Dict, reqs: Set[RequestTypes], currency,
@@ -242,6 +254,11 @@ class Engine:
         if RequestTypes.GAMMA in reqs:
             g = np.asarray(raw["gamma"], dtype=np.float64) * 1e-8
             out["gamma"] = Gamma(risk_ladder=g,
+                                 tenors=to_tenor(list(swap_times)),
+                                 currency=currency, curve_type=curve_type)
+        if RequestTypes.SPEED in reqs and "speed" in raw:
+            s = np.asarray(raw["speed"], dtype=np.float64) * 1e-12
+            out["speed"] = Speed(risk_cube=s,
                                  tenors=to_tenor(list(swap_times)),
                                  currency=currency, curve_type=curve_type)
         return out
@@ -280,7 +297,8 @@ class Engine:
         return AnalyticsResult(value=out.get("value"),
                                risk=out.get("delta"),
                                gamma=out.get("gamma"),
-                               cashflows=cashflows)
+                               cashflows=cashflows,
+                               speed=out.get("speed"))
 
     def _compute_ois_xccy_collateral(self, derivative, reqs, collateral_ccy
                                      ) -> AnalyticsResult:

@@ -1,4 +1,4 @@
 from .results import (AnalyticsResult, CashflowItem, Cashflows, CrossGamma,
-                      Delta, Gamma, Ladder, Risk, Valuation, Value)
+                      Delta, Gamma, Ladder, Risk, Speed, Valuation, Value)
 from .results_base import (AggregationMixin, ArithmeticMixin, BaseResult,
                            ExportMixin, ValidationMixin, VisualizationMixin)

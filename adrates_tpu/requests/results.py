@@ -299,6 +299,72 @@ class Gamma:
 
 
 @dataclass(frozen=True)
+class Speed:
+    """NxNxN third-order sensitivity cube (ccy per bp³).
+
+    The reference DEFINES RequestTypes.SPEED (global_types.py:~34) but
+    never implements it; this container + the engine's third-order AD
+    tower close the gap. risk_cube[i, j, k] = ∂³PV/∂q_i∂q_j∂q_k,
+    scaled 1e-12 (per-bp³) by the engine."""
+    risk_cube: np.ndarray
+    tenors: List[str]
+    currency: CurrencyTypes
+    curve_type: CurveTypes
+
+    def __post_init__(self):
+        object.__setattr__(self, "risk_cube", _as_np(self.risk_cube))
+        n = len(self.tenors)
+        if self.risk_cube.shape != (n, n, n):
+            raise ValueError(
+                f"Expected cube shape {(n, n, n)}, "
+                f"got {self.risk_cube.shape}")
+        if not isinstance(self.currency, CurrencyTypes):
+            raise TypeError(
+                f"currency must be CurrencyTypes, got {type(self.currency)}")
+        if not isinstance(self.curve_type, CurveTypes):
+            raise TypeError(
+                f"curve_type must be CurveTypes, got {type(self.curve_type)}")
+
+    @property
+    def value(self) -> Value:
+        return Value(float(np.sum(self.risk_cube)), self.currency)
+
+    def slice(self, tenor: str) -> Gamma:
+        """The NxN gamma-sensitivity-to-one-pillar slice ∂Γ/∂q_tenor."""
+        i = self.tenors.index(tenor)
+        return Gamma(self.risk_cube[i], self.tenors, self.currency,
+                     self.curve_type)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {"cube": self.risk_cube.tolist(),
+                "tenors": self.tenors,
+                "currency": self.currency.name,
+                "curve_type": self.curve_type.name,
+                "total": float(np.sum(self.risk_cube))}
+
+    def to_json(self, indent: Optional[int] = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent)
+
+    def __repr__(self):
+        return (f"Speed({self.curve_type.name}: "
+                f"{self.value.amount:.6g} {self.currency.name}, "
+                f"points={len(self.tenors)})")
+
+    def __add__(self, other: Any) -> "Speed":
+        if not isinstance(other, Speed):
+            return NotImplemented
+        if (self.curve_type != other.curve_type
+                or self.currency != other.currency
+                or self.tenors != other.tenors):
+            raise ValueError("Cannot add Speed with mismatched curve_type, "
+                             "currency, or tenors")
+        return Speed(self.risk_cube + other.risk_cube, self.tenors,
+                     self.currency, self.curve_type)
+
+    __radd__ = __add__
+
+
+@dataclass(frozen=True)
 class CrossGamma:
     """Rectangular second-order sensitivity across two curves."""
     risk_matrix: np.ndarray            # [N1, N2]
@@ -506,11 +572,17 @@ class AnalyticsResult:
                  value: Optional[Valuation] = None,
                  risk: Optional[Union[Risk, Delta]] = None,
                  gamma: Optional[Union[Risk, Gamma]] = None,
-                 cashflows: Optional[Cashflows] = None):
+                 cashflows: Optional[Cashflows] = None,
+                 speed: Optional[Speed] = None):
         self._value = value
         self._risk = risk
         self._gamma = gamma
         self._cashflows = cashflows
+        self._speed = speed
+
+    @property
+    def speed(self) -> Optional["Speed"]:
+        return self._speed
 
     @property
     def value(self) -> Optional[Valuation]:
@@ -538,4 +610,6 @@ class AnalyticsResult:
             parts.append(f"gamma={self._gamma!r}")
         if self._cashflows is not None:
             parts.append(f"cashflows={self._cashflows!r}")
+        if self._speed is not None:
+            parts.append(f"speed={self._speed!r}")
         return f"AnalyticsResult({', '.join(parts)})"

@@ -132,6 +132,43 @@ class TestGamma:
         assert abs(order2 - pnl) / abs(pnl) < 0.05
 
 
+class TestSpeed:
+    """Third-order SPEED request — defined-but-unimplemented in the
+    reference (RequestTypes.SPEED, global_types); here it is one more
+    jacfwd level over the gamma tower."""
+
+    @pytest.fixture(scope="class")
+    def speed_result(self, model, swap):
+        return swap.position(model).compute(
+            [RequestTypes.GAMMA, RequestTypes.SPEED])
+
+    def test_shape_and_symmetry(self, speed_result, sonia_quotes):
+        cube = speed_result.speed.risk_cube
+        n = len(sonia_quotes[0])
+        assert cube.shape == (n, n, n)
+        # third partials commute: full permutation symmetry
+        np.testing.assert_allclose(cube, np.transpose(cube, (1, 0, 2)),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(cube, np.transpose(cube, (0, 2, 1)),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_slice_is_fd_of_gamma(self, model, swap, speed_result):
+        """speed[i] ≈ central FD of the gamma matrix w.r.t. pillar i
+        (percent-unit scenario shock -> 1e-2 rate units)."""
+        i = 8
+        tenor = speed_result.speed.tenors[i]
+        h_pct = 0.05                       # 5bp in percent units
+        up = swap.position(
+            model.scenario("GBP_OIS_SONIA", {tenor: h_pct})).compute(
+            [RequestTypes.GAMMA]).gamma.risk_ladder
+        dn = swap.position(
+            model.scenario("GBP_OIS_SONIA", {tenor: -h_pct})).compute(
+            [RequestTypes.GAMMA]).gamma.risk_ladder
+        fd = (up - dn) / (2 * h_pct * 1e-2) * 1e-4   # per-bp³ scaling
+        sl = speed_result.speed.slice(tenor).risk_ladder
+        np.testing.assert_allclose(sl, fd, rtol=5e-3, atol=2e-9)
+
+
 class TestCashflows:
     def test_cashflows_structure(self, model, swap):
         res = swap.position(model).compute([RequestTypes.CASHFLOWS])
