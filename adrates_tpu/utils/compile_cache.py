@@ -20,11 +20,40 @@ Environment variables honored (same knobs, no code):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from typing import Optional
 
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "adrates_tpu", "xla")
+
+
+def _host_fingerprint() -> str:
+    """Short stable id for THIS machine's CPU. XLA:CPU cache entries are
+    AOT executables specialized to the compile host's ISA features
+    (AVX-512 variants, AMX, ...); replaying one on a host missing a
+    feature is a potential SIGILL, and the loader warns loudly about it
+    (cpu_aot_loader.cc). JAX's cache key does NOT include the host CPU,
+    so we segregate the cache directory by a fingerprint instead —
+    entries are only ever replayed on a machine that hashes the same.
+
+    Note: cpu_aot_loader also warns about the XLA-internal tuning
+    pseudo-features ``prefer-no-scatter``/``prefer-no-gather`` (they are
+    in the compile-target feature list but are not CPU flags, so the
+    host check can never match them). Those two warnings are spurious
+    and appear even replaying an entry on the machine that compiled it;
+    the fingerprint cannot and does not suppress them."""
+    parts = [platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def configure_cache(cache_dir: Optional[str] = None,
@@ -33,14 +62,17 @@ def configure_cache(cache_dir: Optional[str] = None,
     package (or anything else in the process) compiles.
 
     Precedence: explicit argument > JAX_COMPILATION_CACHE_DIR >
-    ADRATES_CACHE_DIR > ~/.cache/adrates_tpu/xla. Returns the directory
-    in use. Safe to call more than once."""
+    ADRATES_CACHE_DIR > ~/.cache/adrates_tpu/xla. The directory is
+    suffixed with a per-host CPU fingerprint (see _host_fingerprint) so
+    CPU AOT entries never cross machines. Returns the directory in use.
+    Safe to call more than once."""
     import jax
 
     cache_dir = (cache_dir
                  or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.environ.get("ADRATES_CACHE_DIR")
                  or _DEFAULT_DIR)
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
