@@ -1846,15 +1846,32 @@ def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
     return fn
 
 
-def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
+def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048,
+                            dtype=None, method: str = "gather"):
     """Jitted (qvec) -> [B, N] per-trade delta ladders (ccy units per unit
     rate; multiply by 1e-4 for per-bp), single scenario.
 
     Chain-rule split: per-slot dPV/dDF coefficients are CLOSED FORM (the
     same gathers as the PV sweep — no AD through the [R, P] graph), and
     the curve jacobian J = d dfs_flat / d quotes [C*U, N] is ONE jacfwd
-    of the curve graph. delta_row = sum_p coef[p] * J[idx[p]], computed
-    in row chunks to bound the [chunk, P, N] gather temporary."""
+    of the curve graph.
+
+    ``method`` picks how the [B, N] contraction against the
+    [C*U + T, N] value jacobian runs:
+
+    - "gather": delta_row = sum_p w[p] * Jv[idx[p]] in row chunks — the
+      [chunk, L, N] gathered temporary is the HBM cost.
+    - "matmul": scatter the (idx, w) slots of each chunk into a dense
+      [chunk, C*U + T] coefficient matrix and take ONE
+      [chunk, M] @ [M, N] MXU matmul — ~L/3x less HBM traffic for
+      long-pad buckets and compute on the systolic array instead of
+      the gather unit. Exact same result.
+
+    ``dtype`` (e.g. jnp.float32) downcasts Jv and the contraction:
+    the curve graph and jacobian stay f64 (calibration precision), only
+    the per-trade accumulation drops — risk ladders are reporting
+    artifacts with ~1e-7 relative headroom at f32, not calibration
+    inputs (VERDICT r2 weak item 3)."""
     basket = mb.basket
     grids = basket.grids
     params = jax.device_put(basket.params)
@@ -1863,13 +1880,14 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
     _, clamp, cols = _device_expand(None, clamp, mb.tile, cols=cols)
     agg = jax.device_put(mb.aggregate)
     n_trades = mb.n_trades
+    if method not in ("gather", "matmul"):
+        raise ValueError(f"unknown per-trade delta method: {method!r}")
 
     @jax.jit
     def _fn(qvec, P, cbs, cl, ag):
         dfs_flat = grids(qvec, P)
         J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
         N = J.shape[1]
-        out = jnp.zeros((n_trades, N))
 
         # d tripval / d quotes, closed form from the gathered J rows:
         # tripval = (a/b - 1) c  with a=df_s, b=df_e, c=df_p
@@ -1880,6 +1898,10 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
                   - J[ag.trip_e] * (a * c_ / (b_ * b_))
                   + J[ag.trip_p] * (a / b_ - 1.0))
         Jv = jnp.concatenate([J, J_trip])                # [C*U + T, N]
+        if dtype is not None:
+            Jv = Jv.astype(dtype)
+        out = jnp.zeros((n_trades, N), Jv.dtype)
+        M = Jv.shape[0]
 
         for cb in cbs:
             R = cb.col_idx.shape[0]
@@ -1894,9 +1916,23 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
             stacked = [x.reshape((-1, chunk) + x.shape[1:])
                        for x in stacked]
 
-            def chunk_delta(args):
-                ci, wi = args
-                return jnp.einsum("bp,bpn->bn", wi, Jv[ci])
+            if method == "matmul":
+                rows = jnp.broadcast_to(
+                    jnp.arange(chunk, dtype=jnp.int32)[:, None],
+                    stacked[0].shape[1:])
+
+                def chunk_delta(args):
+                    ci, wi = args
+                    # dead slots carry w == 0.0: scattering them onto
+                    # column 0 adds exact zeros
+                    W = jnp.zeros((chunk, M), Jv.dtype)
+                    W = W.at[rows, ci].add(wi.astype(Jv.dtype))
+                    return W @ Jv
+            else:
+                def chunk_delta(args):
+                    ci, wi = args
+                    return jnp.einsum("bp,bpn->bn",
+                                      wi.astype(Jv.dtype), Jv[ci])
 
             deltas = lax.map(chunk_delta, tuple(stacked))
             deltas = deltas.reshape(-1, N)[:R]
@@ -1917,7 +1953,7 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048):
             ce = -cl.w * df_p * inside * df_s / (ia_safe * df_e * df_e)
             d = (cp[:, None] * J[cl.p_idx] + cs[:, None] * J[cl.s_idx]
                  + ce[:, None] * J[cl.e_idx])
-            out = out.at[cl.slot_trade].add(d)
+            out = out.at[cl.slot_trade].add(d.astype(out.dtype))
         return out
 
     def fn(qvec):

@@ -269,6 +269,38 @@ class TestPerTradeDelta:
                                    np.asarray(out["delta"])[0],
                                    rtol=1e-9, atol=1e-6)
 
+    def test_matmul_method_matches_gather(self, model):
+        """The dense scatter+MXU-matmul contraction is the same math as
+        the gather einsum — identical ladders to f64 noise."""
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        lad_g = np.asarray(
+            make_per_trade_delta_fn(mb, chunk=4)(mb.basket.quotes0))
+        lad_m = np.asarray(
+            make_per_trade_delta_fn(mb, chunk=4, method="matmul")(
+                mb.basket.quotes0))
+        np.testing.assert_allclose(lad_m, lad_g, rtol=1e-12, atol=1e-9)
+
+        with pytest.raises(ValueError):
+            make_per_trade_delta_fn(mb, method="bogus")
+
+    def test_f32_ladders_within_reporting_tolerance(self, model):
+        import jax.numpy as jnp
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        lad64 = np.asarray(
+            make_per_trade_delta_fn(mb, chunk=4)(mb.basket.quotes0))
+        for meth in ("gather", "matmul"):
+            lad32 = np.asarray(
+                make_per_trade_delta_fn(mb, chunk=4, dtype=jnp.float32,
+                                        method=meth)(mb.basket.quotes0))
+            assert lad32.dtype == np.float32
+            scale = np.abs(lad64).max()
+            np.testing.assert_allclose(lad32, lad64, rtol=1e-4,
+                                       atol=3e-6 * scale)
+
     def test_single_trade_ladder_matches_engine(self, model):
         gbp_only = [t for t in _trades(model)
                     if t.derivative_type.name == "OIS_SWAP"
