@@ -188,10 +188,20 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     # (ois_curve.py:168-173). Falls back to linear space when the curve was
     # built from non-positive quotes (negative-rate markets) — log of a
     # negative rate NaNs the whole bootstrap, a latent bug in the
-    # reference.
+    # reference. The build-time flag alone is NOT enough: scenario
+    # engines shock the quote vector inside the jitted graph, so a
+    # low-rate curve (e.g. JPY short end at ~30bp) can cross zero at
+    # runtime. Guard in-graph: clamp the log argument (the clamped
+    # branch's gradient is exactly zero, so no NaN leaks through AD)
+    # and select linear-space interpolation whenever any pillar rate is
+    # non-positive.
     if plan.loglinear_rates:
-        interp_rates = jnp.exp(jnp.interp(times, swap_times,
-                                          jnp.log(rates)))
+        safe = jnp.maximum(rates, 1e-300)
+        log_interp = jnp.exp(jnp.interp(times, swap_times,
+                                        jnp.log(safe)))
+        lin_interp = jnp.interp(times, swap_times, rates)
+        interp_rates = jnp.where(jnp.all(rates > 0.0), log_interp,
+                                 lin_interp)
     else:
         interp_rates = jnp.interp(times, swap_times, rates)
     point_rates = jnp.where(pillar_idx >= 0, rates[pillar_idx.clip(0)],

@@ -1488,6 +1488,12 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         out["pvs"] = _pvs(qvec, params, cols, clamp, agg, shocks)
         return out
 
+    # phase-attribution hooks (bench per-phase artifact, VERDICT r2
+    # item 9): call the two compiled programs separately
+    fn.risk_only = lambda qvec, shocks: _risk(
+        jnp.asarray(qvec), params, agg, clamp_agg, jnp.asarray(shocks))
+    fn.pvs_only = lambda qvec, shocks: _pvs(
+        jnp.asarray(qvec), params, cols, clamp, agg, jnp.asarray(shocks))
     return fn
 
 

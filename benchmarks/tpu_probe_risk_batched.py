@@ -23,11 +23,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import adrates_tpu
     from adrates_tpu.parallel import (compile_multibook, tile_multibook,
                                       warmup_multibook)
     from adrates_tpu.parallel.multibook import make_multibook_fn
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    adrates_tpu.configure_cache("/tmp/adrates_jax_cache")
     log(f"devices: {jax.devices()}")
 
     rng = np.random.default_rng(7)
@@ -62,6 +64,18 @@ def main():
     log(f"warm full flagship (PV sweep + delta + gamma, S={S}): "
         f"{dt*1e3:.0f} ms (sum {tot:.6g}) -> "
         f"{mb.n_trades * S / dt:,.0f} trade-scenarios/sec")
+    for k, v in out.items():
+        log(f"  {k}: shape {v.shape} nan={int(jnp.sum(jnp.isnan(v)))}")
+
+    # split timing: the two compiled programs separately
+    t0 = time.perf_counter()
+    r = fn.risk_only(q0, shocks)
+    float(sum(jnp.sum(v) for v in r.values()))
+    log(f"warm risk pass alone: {(time.perf_counter()-t0)*1e3:.0f} ms")
+    t0 = time.perf_counter()
+    p = fn.pvs_only(q0, shocks)
+    float(jnp.sum(p))
+    log(f"warm PV sweep alone: {(time.perf_counter()-t0)*1e3:.0f} ms")
 
 
 if __name__ == "__main__":

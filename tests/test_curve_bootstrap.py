@@ -219,3 +219,53 @@ class TestValidation:
         swaps = make_swaps(value_dt, ["5Y", "2Y"], [3.9, 4.3])
         with pytest.raises(LibError):
             OISCurve(value_dt, swaps, InterpTypes.LINEAR_ZERO_RATES)
+
+
+class TestNegativeRateShocks:
+    """Scenario shocks are applied to the quote vector INSIDE the jitted
+    graph, so a low-rate curve can cross zero at runtime even when every
+    build-time quote is positive. The bootstrap's log-linear sub-pillar
+    interpolation must degrade to linear-space interpolation in-graph
+    instead of NaN-ing the whole risk pass (the reference NaNs here —
+    ois_curve.py:168-173 logs the shocked rate unconditionally)."""
+
+    def test_shock_across_zero_stays_finite(self):
+        import jax
+        import jax.numpy as jnp
+
+        from adrates_tpu.ops.bootstrap import bootstrap_ois
+
+        value_dt = Date(1, 1, 2024)
+        # JPY-style short end: 30bp 1Y — a 50bp shock goes negative
+        swaps = make_swaps(value_dt, ["1Y", "2Y", "5Y", "10Y"],
+                           [0.30, 0.45, 0.80, 1.10],
+                           freq=FrequencyTypes.SEMI_ANNUAL)
+        curve = OISCurve(value_dt, swaps, InterpTypes.FLAT_FWD_RATES,
+                         check_refit=True)
+        rates = jnp.asarray(curve.swap_rates)
+        assert bool(jnp.all(rates > 0))
+
+        shocked = rates - 0.005          # 1Y pillar now negative
+        ts, ds = jax.jit(bootstrap_ois)(shocked, curve._plan)
+        assert np.all(np.isfinite(np.asarray(ds)))
+
+        # gradients through the shocked region stay finite too
+        g = jax.grad(lambda r: jnp.sum(bootstrap_ois(r, curve._plan)[1]))(
+            shocked)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_positive_rates_unchanged_by_guard(self):
+        import jax
+        import jax.numpy as jnp
+
+        from adrates_tpu.ops.bootstrap import bootstrap_ois
+
+        value_dt = Date(1, 1, 2024)
+        swaps = make_swaps(value_dt, ["1Y", "3Y", "7Y"], [4.0, 3.8, 3.7],
+                           freq=FrequencyTypes.QUARTERLY)
+        curve = OISCurve(value_dt, swaps, InterpTypes.FLAT_FWD_RATES,
+                         check_refit=True)
+        ts, ds = jax.jit(bootstrap_ois)(jnp.asarray(curve.swap_rates),
+                                        curve._plan)
+        np.testing.assert_allclose(np.asarray(ds),
+                                   np.asarray(curve._dfs), rtol=1e-13)
