@@ -196,7 +196,15 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     # and select linear-space interpolation whenever any pillar rate is
     # non-positive.
     if plan.loglinear_rates:
-        safe = jnp.maximum(rates, 1e-300)
+        # clamp floor must keep 1/safe**2 finite: second-order AD of
+        # log(max(r, c)) materializes -1/safe^2 as a linearization
+        # constant, and c=1e-300 overflowed it to -Inf whose product
+        # with the max's zero tangent is NaN (the 368-entry gamma NaN
+        # on the flagship book: one scenario pushed a JPY pillar
+        # through zero). 1e-8 (0.0001 bp) keeps every AD order finite
+        # and only bites where log-linear rate interpolation is
+        # numerically meaningless anyway.
+        safe = jnp.maximum(rates, 1e-8)
         log_interp = jnp.exp(jnp.interp(times, swap_times,
                                         jnp.log(safe)))
         lin_interp = jnp.interp(times, swap_times, rates)

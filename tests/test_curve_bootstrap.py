@@ -254,6 +254,14 @@ class TestNegativeRateShocks:
             shocked)
         assert np.all(np.isfinite(np.asarray(g)))
 
+        # SECOND order is the sharp edge: linearizing log(max(r, c))
+        # materializes -1/safe^2, which overflowed to -Inf at c=1e-300
+        # and NaN'd the gamma pass (Inf * zero-tangent). The clamp floor
+        # must keep every AD order finite.
+        H = jax.hessian(
+            lambda r: jnp.sum(bootstrap_ois(r, curve._plan)[1]))(shocked)
+        assert np.all(np.isfinite(np.asarray(H)))
+
     def test_positive_rates_unchanged_by_guard(self):
         import jax
         import jax.numpy as jnp
