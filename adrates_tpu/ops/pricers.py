@@ -130,8 +130,15 @@ def pv_float_leg(dfs, times, disc_interp_type: InterpTypes,
     df_pmts = disc_out[:n]
     df_val = disc_out[n]
 
-    fwd = jnp.where(leg.index_alphas > 0,
-                    (df_start / df_end - 1.0) / leg.index_alphas, 0.0)
+    # double-where guard: the unselected branch must not divide by the
+    # padded ia=0 slots — its VJP otherwise computes Inf * 0 = NaN, which
+    # surfaces the moment the curve grid becomes a differentiation INPUT
+    # (structured_risk feeds parent grids as explicit stage inputs; the
+    # NaN landed on the t=0 node's cotangent and poisoned every gamma).
+    has_accrual = leg.index_alphas > 0
+    ia_safe = jnp.where(has_accrual, leg.index_alphas, 1.0)
+    fwd = jnp.where(has_accrual,
+                    (df_start / df_end - 1.0) / ia_safe, 0.0)
 
     if leg.override_first:
         first_mask = jnp.arange(n) == 0

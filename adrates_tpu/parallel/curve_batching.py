@@ -227,6 +227,75 @@ class _Stage:
     recal: bool = True
 
 
+# ---------------------------------------------------------------------------
+# Stage-native forwards (shared by grids() and the structured risk pass:
+# parallel/structured_risk.py differentiates each stage SEPARATELY with a
+# per-stage tangent basis, so these must be standalone pure functions)
+# ---------------------------------------------------------------------------
+
+
+def ois_native_ds(rates, b):
+    """[G, Qp] padded local rates -> sentinelized native dfs [G, P1].
+    (Times are static — b["ts_static"].)"""
+    _, ds = jax.vmap(bootstrap_ois, in_axes=(0, 0))(rates, b["plan"])
+    return jnp.where(b["pad_mask"], 1.0, ds)
+
+
+def infl_native_ds(q, b):
+    """[G, Qp] breakevens -> sentinelized factor grid [G, Qp+1]."""
+    stt = b["swap_times"]
+    one = jnp.ones((stt.shape[0], 1), stt.dtype)
+    ds = jnp.concatenate([one, jnp.power(1.0 + q, stt)], axis=1)
+    return jnp.where(b["pad_mask"], 1.0, ds)
+
+
+def xccy_native_ds(spreads, dom_ds, for_ds, b, st: _Stage):
+    """[G, S] spreads + stacked parent native dfs -> sentinelized native
+    dfs [G, U1]. Parent time grids are static (b["dom_ts"]/b["for_ts"])."""
+    dom_ts = b["dom_ts"]
+    for_ts = b["for_ts"]
+    if st.recal:
+        d_it = st.dom_interp
+
+        def one_curve(dts, dds, lts):
+            return jax.vmap(
+                lambda lt: pv_float_leg(dds, dts, d_it, lt))(lts)
+
+        pv_dom = jax.vmap(one_curve)(dom_ts, dom_ds, b["legs"])
+    else:
+        pv_dom = b["pv_dom0"]
+        for_ds = lax.stop_gradient(for_ds)
+    _, ds = jax.vmap(
+        bootstrap_xccy, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            spreads, pv_dom, for_ts, for_ds,
+            b["spot_fx"], b["plan"], st.foreign_interp)
+    return jnp.where(b["pad_mask"], 1.0, ds)
+
+
+def stage_rows(ut, ts_static, ds, its: Sequence[InterpTypes]):
+    """Interpolate a stage's [G, P1] native grids onto the shared query
+    times: [G, U]. Same-SIMPLE-scheme members batch through one vmapped
+    simple_df; spline members evaluate per curve (identical kernels to
+    grids()' cross-stage batching, so values agree bitwise)."""
+    G = ds.shape[0]
+    rows: List = [None] * G
+    by_scheme: Dict[InterpTypes, List[int]] = {}
+    for m, it in enumerate(its):
+        if it in _SIMPLE:
+            by_scheme.setdefault(it, []).append(m)
+        else:
+            t = jnp.asarray(ts_static[m])
+            aux = interp_fit(t, ds[m], it)
+            rows[m] = interp_df(ut, t, ds[m], it, aux)
+    for it, mids in by_scheme.items():
+        out = jax.vmap(
+            lambda t, d, it=it: simple_df(ut, t, d, it))(
+                jnp.asarray(ts_static[np.asarray(mids)]), ds[mids, :])
+        for k, m in enumerate(mids):
+            rows[m] = out[k]
+    return jnp.stack(rows)
+
+
 def build_batched_grids(basket, unique_times: np.ndarray):
     """Build the batched quotes->[C*U] grids function for a CurveBasket.
 
@@ -257,12 +326,16 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         for g, p in enumerate(plans):
             pad_mask[g, 1 + p.point_times.shape[0]:] = True
         key = f"ois_{len(stages)}"
+        sent = np.tile(_sent(0, P1), (len(ids), 1))
+        ts_full = np.concatenate(
+            [np.zeros((len(ids), 1)), plan.point_times], axis=1)
         bat[key] = dict(
             plan=plan,
             qidx=np.stack([_qidx(specs[i], plan.swap_times.shape[1])
                            for i in ids]),
             pad_mask=pad_mask,
-            sent=np.tile(_sent(0, P1), (len(ids), 1)))
+            sent=sent,
+            ts_static=np.where(pad_mask, sent, ts_full))
         stages.append(_Stage(kind="ois", ids=list(ids), key=key))
 
     # ---- group XCCY curves ------------------------------------------
@@ -290,6 +363,10 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         for g, p in enumerate(plans):
             pad_mask[g, 1 + p.unique_sel.shape[0]:] = True
         key = f"xccy_{len(stages)}"
+        sent = np.tile(_sent(0, U1), (len(ids), 1))
+        ts_full = np.stack([
+            np.concatenate([[0.0], plan.times[g][plan.unique_sel[g]]])
+            for g in range(len(ids))])
         bat[key] = dict(
             plan=plan,
             legs=_stack_legs([xp_of[i]["dom_legs"] for i in ids]),
@@ -298,7 +375,8 @@ def build_batched_grids(basket, unique_times: np.ndarray):
             qidx=np.stack([_qidx(specs[i], specs[i].n_quotes)
                            for i in ids]),
             pad_mask=pad_mask,
-            sent=np.tile(_sent(0, U1), (len(ids), 1)))
+            sent=sent,
+            ts_static=np.where(pad_mask, sent, ts_full))
         stages.append(_Stage(
             kind="xccy", ids=list(ids), key=key,
             dom_ids=[specs[i].dom_id for i in ids],
@@ -323,12 +401,37 @@ def build_batched_grids(basket, unique_times: np.ndarray):
             pad_mask[g, 1 + st.shape[0]:] = True
             sts.append(np.concatenate(
                 [st, st[-1] + 1.0 + np.arange(Q - st.shape[0])]))
+        sent = np.tile(_sent(0, Q + 1), (len(infl_ids), 1))
+        ts_full = np.concatenate(
+            [np.zeros((len(infl_ids), 1)), np.stack(sts)], axis=1)
         bat["infl"] = dict(
             swap_times=np.stack(sts),
             qidx=np.stack([_qidx(specs[i], Q) for i in infl_ids]),
             pad_mask=pad_mask,
-            sent=np.tile(_sent(0, Q + 1), (len(infl_ids), 1)))
+            sent=sent,
+            ts_static=np.where(pad_mask, sent, ts_full))
         stages.append(_Stage(kind="infl", ids=list(infl_ids), key="infl"))
+
+    # ---- static parent time grids for the XCCY stages (the structured
+    # risk pass feeds parent native dfs as explicit stage inputs, so the
+    # stacked parent TS must be available as static arrays) -------------
+    ts_static_of: Dict[int, np.ndarray] = {}
+    for st in stages:
+        for g, cid in enumerate(st.ids):
+            ts_static_of[cid] = bat[st.key]["ts_static"][g]
+
+    def _stack_static_ts(ids):
+        L = max(ts_static_of[i].shape[0] for i in ids)
+        return np.stack([
+            np.concatenate([ts_static_of[i],
+                            _sent(ts_static_of[i].shape[0],
+                                  L - ts_static_of[i].shape[0])])
+            for i in ids])
+
+    for st in stages:
+        if st.kind == "xccy":
+            bat[st.key]["dom_ts"] = _stack_static_ts(st.dom_ids)
+            bat[st.key]["for_ts"] = _stack_static_ts(st.for_ids)
 
     interp_of = {i: specs[i].interp_type for i in range(C)}
 
@@ -422,4 +525,4 @@ def build_batched_grids(basket, unique_times: np.ndarray):
 
         return jnp.concatenate([rows[i] for i in range(C)])
 
-    return grids, bat
+    return grids, bat, stages

@@ -279,8 +279,9 @@ class CurveBasket:
         ut = np.asarray(unique_times)
         if batch_curves:
             from .curve_batching import build_batched_grids
-            grids, bat = build_batched_grids(self, ut)
+            grids, bat, stages = build_batched_grids(self, ut)
             self.params = dict(self.params, unique_times=ut, bat=bat)
+            self._stages = stages
             return grids
 
         native_fn = self.native_grids_fn()
@@ -1511,6 +1512,16 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     # (J and the curve-Hessian contraction's jacfwd)
     risk_batch = max(1, min(int(1e8 // max(N * CU, 1)), 64))
 
+    # structured per-stage differentiation (parallel/structured_risk.py)
+    # whenever the basket carries the batched stage topology: the
+    # block-sparse quote->curve dependency makes it ~4x less tangent
+    # work than the generic full-graph split, and the per-stage programs
+    # compile far faster than one 184-tangent monolith.
+    structured = None
+    if getattr(basket, "_stages", None) is not None:
+        from .structured_risk import make_structured_risk
+        structured = make_structured_risk(basket)
+
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):
         if not want_gamma:
@@ -1519,6 +1530,9 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
             def one_scenario(shock):
                 total = lambda q: aggregate_total(grids(q, P), ag, cl_agg)
                 return {"delta": jax.jacrev(total)(qvec + shock)}
+        elif structured is not None:
+            def one_scenario(shock):
+                return structured(qvec + shock, P, ag, cl_agg, True)
         else:
             def one_scenario(shock):
                 return _scenario_risk(grids, qvec + shock, P, ag, cl_agg,

@@ -1,0 +1,353 @@
+"""Structured scenario risk: per-stage differentiation of the curve graph.
+
+The generic closed-form split (multibook._scenario_risk) pushes N (=every
+quote on every curve) tangents through the WHOLE curve graph twice per
+scenario: once for the jacobian J = d dfs_flat/dq, once for the
+curve-Hessian contraction jacfwd(grad(g0 . dfs)). But the quotes->curves
+dependency is BLOCK SPARSE: an OIS or inflation curve depends only on its
+own pillar quotes, and an XCCY curve on its basis spreads plus its two
+parent OIS curves' quotes. On the flagship book that is <= 72 of 184
+quotes per curve — the generic pass wastes ~2.5x the tangent work and,
+worse, pushes every tangent through every bootstrap.
+
+This module differentiates each batched STAGE separately with a tangent
+basis sized to the stage's parent set and composes by the chain rule:
+
+- J rows, OIS/inflation stage: Qp tangent seeds (one per LOCAL quote
+  slot). One seed carries the same unit direction for EVERY group member
+  at once — members never interact inside a vmapped stage, so the [Qp]
+  basis recovers all G members' jacobians in one sweep (NOT G*Qp seeds).
+- J rows, XCCY stage: D = S + Qp_dom + Qp_for COMPOSED directions: basis
+  units plus parent jacobian columns (from the parent stage's jvp) fed as
+  input tangents of the small xccy stage graph. This evaluates
+  J_x = [dF/db, dF/d(ds_dom) . J_dom, dF/d(ds_for) . J_for] without ever
+  differentiating the parent bootstraps again.
+- term2 = sum_k g_k d2 dfs_k/dq2, by the second-order chain rule:
+    XCCY stage: the hessian over the composed directions of
+      s(Z) = sum_m g_m . rows_m(spreads + Z_b, dom_ds + J_dom Z_d,
+                                for_ds + J_for Z_f)
+    is exactly J_in' H_s J_in — no [native x native] H_s is ever
+    materialized. The remaining chain term sum_l (ds/d nat_l) H_nat_l
+    becomes a COTANGENT v on each parent's native dfs, accumulated and
+    folded into the parent stage's scalar:
+    OIS stage: hessian of psi(q_c) = g_c . rows_c(q_c) + v_c . ds_c(q_c),
+    again with the Qp-direction group trick.
+
+All block placements are static one-hot matmuls (E @ block @ E'), never
+f64 scatters (the worst TPU op class — docs/tpu_f64_notes.md). The trip
+quad form (term1) reuses multibook._gamma_quad_form on the assembled J.
+
+Reference shape being matched: the same J'HJ + sum grad.H_curve split the
+reference assembles per trade (/root/reference/cavour/market/position/
+engine.py:2563-2568), here at whole-book x whole-curve-set scale with
+the curve-level chain rule exposed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve_batching import (infl_native_ds, ois_native_ds, stage_rows,
+                             xccy_native_ds)
+from .multibook import _gamma_quad_form, aggregate_total
+
+
+def _one_hot(idx: np.ndarray, N: int, D: int, n_live: int) -> np.ndarray:
+    """[N, D] selection matrix: column j routes local direction j onto
+    global quote row idx[j] (duplicate rows ADD — padded local slots
+    alias the last real pillar exactly like the gather they mirror).
+    Columns >= n_live stay zero (inert padded directions)."""
+    E = np.zeros((N, D))
+    for j in range(n_live):
+        E[idx[j], j] += 1.0
+    return E
+
+
+def make_structured_risk(basket):
+    """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
+    basket's batched stage topology. Requires the basket to have been
+    compiled with batch_curves=True (basket._stages present)."""
+    stages = basket._stages
+    specs = basket.specs
+    C = len(specs)
+    N = basket.n_quotes
+    U = int(np.asarray(basket.params["unique_times"]).shape[0])
+    bat0 = basket.params["bat"]
+
+    pos_of: Dict[int, tuple] = {}
+    for si, st in enumerate(stages):
+        for mi, cid in enumerate(st.ids):
+            pos_of[cid] = (si, mi)
+
+    its_of = [[specs[i].interp_type for i in st.ids] for st in stages]
+
+    # ---- static direction metadata -----------------------------------
+    # OIS/infl member m of stage si: directions = local quote slots.
+    E_of: Dict[tuple, np.ndarray] = {}
+    xmeta: Dict[int, dict] = {}
+    for si, st in enumerate(stages):
+        qidx = np.asarray(bat0[st.key]["qidx"])
+        G, S = qidx.shape
+        if st.kind != "xccy":
+            for mi in range(G):
+                E_of[(si, mi)] = _one_hot(qidx[mi], N, S, S)
+            continue
+        if not st.recal:
+            # parents are stop-gradient'd: directions = basis only
+            xmeta[si] = dict(D=S, S=S, parents=None)
+            for mi in range(G):
+                E_of[(si, mi)] = _one_hot(qidx[mi], N, S, S)
+            continue
+        parents = []
+        D = 0
+        for mi in range(G):
+            sd, md = pos_of[st.dom_ids[mi]]
+            sf, mf = pos_of[st.for_ids[mi]]
+            qd = np.asarray(bat0[stages[sd].key]["qidx"])[md]
+            qf = np.asarray(bat0[stages[sf].key]["qidx"])[mf]
+            p1d = bat0[stages[sd].key]["ts_static"].shape[1]
+            p1f = bat0[stages[sf].key]["ts_static"].shape[1]
+            parents.append(dict(sd=sd, md=md, qd=qd, p1d=p1d,
+                                sf=sf, mf=mf, qf=qf, p1f=p1f))
+            D = max(D, S + qd.shape[0] + qf.shape[0])
+        for mi in range(G):
+            p = parents[mi]
+            pidx = np.concatenate([qidx[mi], p["qd"], p["qf"]])
+            E_of[(si, mi)] = _one_hot(pidx, N, D, pidx.shape[0])
+        xmeta[si] = dict(D=D, S=S, parents=parents)
+
+    ois_first = [si for si, st in enumerate(stages) if st.kind != "xccy"]
+    xccy_last = [si for si, st in enumerate(stages) if st.kind == "xccy"]
+
+    def scenario_risk(qvec, P, agg, clamp_agg, want_gamma):
+        B = P["bat"]
+        ut = P["unique_times"]
+        dt = qvec.dtype
+
+        ds_of: List = [None] * C        # cid -> [P1] native dfs
+        rows_of: List = [None] * C      # cid -> [U]
+        dds_st: Dict[int, jnp.ndarray] = {}    # si -> [Qp, G, P1]
+        drows_st: Dict[int, jnp.ndarray] = {}  # si -> [Dirs, G, U]
+        fwd_of: Dict[int, object] = {}         # si -> stage forward fn
+
+        # ---- pass 1: OIS + inflation stages (primal + Qp-seed jvp) ---
+        for si in ois_first:
+            st = stages[si]
+            b = B[st.key]
+            q_local = qvec[b["qidx"]]                       # [G, Qp]
+            G, Qp = q_local.shape
+
+            def fwd(r, b=b, st=st, si=si):
+                ds = (ois_native_ds(r, b) if st.kind == "ois"
+                      else infl_native_ds(r, b))
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return ds, rows
+
+            fwd_of[si] = fwd
+            (ds, rows), jvp = jax.linearize(fwd, q_local)
+            seeds = jnp.broadcast_to(
+                jnp.eye(Qp, dtype=dt)[:, None, :], (Qp, G, Qp))
+            dds, drows = jax.vmap(jvp)(seeds)
+            dds_st[si] = dds
+            drows_st[si] = drows
+            for mi, cid in enumerate(st.ids):
+                ds_of[cid] = ds[mi]
+                rows_of[cid] = rows[mi]
+
+        # ---- pass 2: XCCY stages (composed parent directions) --------
+        xstate: Dict[int, dict] = {}
+        for si in xccy_last:
+            st = stages[si]
+            b = B[st.key]
+            m = xmeta[si]
+            spreads = qvec[b["qidx"]]                       # [G, S]
+            G, S = spreads.shape
+            D = m["D"]
+
+            Ld = b["dom_ts"].shape[1]
+            Lf = b["for_ts"].shape[1]
+
+            def pad_to(v, L):
+                return jnp.concatenate(
+                    [v, jnp.ones(L - v.shape[0], v.dtype)])
+
+            dom_ds = jnp.stack([pad_to(ds_of[st.dom_ids[mi]], Ld)
+                                for mi in range(G)])
+            for_ds = jnp.stack([pad_to(ds_of[st.for_ids[mi]], Lf)
+                                for mi in range(G)])
+
+            if m["parents"] is None:
+                # recal=False: parent grids enter as VALUES only
+                # (xccy_native_ds stop-gradients them), so basis spreads
+                # are the only differentiation directions
+                def fwd(sp, b=b, st=st, si=si, dom_ds=dom_ds,
+                        for_ds=for_ds):
+                    ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
+                    rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                    return ds, rows
+
+                fwd_of[si] = fwd
+                (ds, rows), jvp = jax.linearize(fwd, spreads)
+                seeds = jnp.broadcast_to(
+                    jnp.eye(S, dtype=dt)[:, None, :], (S, G, S))
+                _, drows = jax.vmap(jvp)(seeds)
+                drows_st[si] = drows
+                for mi, cid in enumerate(st.ids):
+                    ds_of[cid] = ds[mi]
+                    rows_of[cid] = rows[mi]
+                xstate[si] = dict(spreads=spreads)
+                continue
+
+            def fwd(sp, dd, fd, b=b, st=st, si=si):
+                ds = xccy_native_ds(sp, dd, fd, b, st)
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return ds, rows
+
+            fwd_of[si] = fwd
+            (ds, rows), jvp = jax.linearize(fwd, spreads, dom_ds, for_ds)
+
+            # composed tangents: [D, G, *] — unit basis dirs first, then
+            # parent jacobian columns per member
+            tb = jnp.zeros((D, G, S), dt)
+            tb = tb.at[:S].set(jnp.broadcast_to(
+                jnp.eye(S, dtype=dt)[:, None, :], (S, G, S)))
+            td = jnp.zeros((D, G, Ld), dt)
+            tf = jnp.zeros((D, G, Lf), dt)
+            for mi in range(G):
+                p = m["parents"][mi]
+                Jd = dds_st[p["sd"]][:, p["md"], :]        # [Qd, P1d]
+                Jf = dds_st[p["sf"]][:, p["mf"], :]        # [Qf, P1f]
+                qd, qf = p["qd"].shape[0], p["qf"].shape[0]
+                td = td.at[S:S + qd, mi, :p["p1d"]].set(Jd)
+                tf = tf.at[S + qd:S + qd + qf, mi, :p["p1f"]].set(Jf)
+
+            _, drows = jax.vmap(jvp)(tb, td, tf)
+            drows_st[si] = drows
+            for mi, cid in enumerate(st.ids):
+                ds_of[cid] = ds[mi]
+                rows_of[cid] = rows[mi]
+            xstate[si] = dict(spreads=spreads, dom_ds=dom_ds,
+                              for_ds=for_ds, td=td, tf=tf)
+
+        # ---- aggregate gradient --------------------------------------
+        dfs_flat = jnp.concatenate([rows_of[c] for c in range(C)])
+        g = jax.grad(
+            lambda d: aggregate_total(d, agg, clamp_agg))(dfs_flat)
+
+        # ---- J assembly (one-hot matmuls, block per curve) -----------
+        blocks = []
+        for cid in range(C):
+            si, mi = pos_of[cid]
+            E = jnp.asarray(E_of[(si, mi)], dt)             # [N, Dirs]
+            blocks.append(E @ drows_st[si][:, mi, :])       # [N, U]
+        J = jnp.concatenate(blocks, axis=1)                 # [N, C*U]
+        out = {"delta": J @ g}
+        if not want_gamma:
+            return out
+
+        term1 = _gamma_quad_form(J, dfs_flat, agg, clamp_agg)
+
+        # ---- term2: per-stage hessians, XCCY first (cotangents flow
+        # onto the parent OIS natives) ---------------------------------
+        g0 = jax.lax.stop_gradient(g)
+        H2 = jnp.zeros((N, N), dt)
+        v_of: Dict[int, jnp.ndarray] = {}
+
+        for si in xccy_last:
+            st = stages[si]
+            b = B[st.key]
+            m = xmeta[si]
+            xs = xstate[si]
+            G = len(st.ids)
+            S = m["S"]
+            D = m["D"]
+            g_stage = jnp.stack(
+                [g0[cid * U:(cid + 1) * U] for cid in st.ids])  # [G, U]
+
+            if m["parents"] is None:
+                def s_plain(sp, g_stage=g_stage, fwd=fwd_of[si]):
+                    _, rows = fwd(sp)
+                    return jnp.vdot(g_stage, rows)
+
+                gfun = jax.grad(s_plain)
+                _, jvp2 = jax.linearize(gfun, xs["spreads"])
+                seeds = jnp.broadcast_to(
+                    jnp.eye(S, dtype=dt)[:, None, :], (S, G, S))
+                Hx = jax.vmap(jvp2)(seeds)                 # [S, G, S]
+                for mi, cid in enumerate(st.ids):
+                    E = jnp.asarray(E_of[(si, mi)], dt)
+                    H2 = H2 + E @ Hx[:, mi, :] @ E.T
+                continue
+
+            fwd = fwd_of[si]
+
+            def s_plain(sp, dd, fd, si=si, g_stage=g_stage, fwd=fwd):
+                _, rows = fwd(sp, dd, fd)
+                return jnp.vdot(g_stage, rows)
+
+            gb, gd, gf = jax.grad(s_plain, argnums=(0, 1, 2))(
+                xs["spreads"], xs["dom_ds"], xs["for_ds"])
+            for mi in range(G):
+                p = m["parents"][mi]
+                for key_s, key_m, cot, p1 in (
+                        ("sd", "md", gd, p["p1d"]),
+                        ("sf", "mf", gf, p["p1f"])):
+                    cid_par = (st.dom_ids if key_s == "sd"
+                               else st.for_ids)[mi]
+                    prev = v_of.get(cid_par)
+                    add = cot[mi, :p1]
+                    v_of[cid_par] = add if prev is None else prev + add
+
+            td, tf = xs["td"], xs["tf"]
+            sp0, dd0, fd0 = xs["spreads"], xs["dom_ds"], xs["for_ds"]
+
+            def s_hat(Z, sp0=sp0, dd0=dd0, fd0=fd0, td=td, tf=tf,
+                      si=si, g_stage=g_stage, fwd=fwd, S=S):
+                sp2 = sp0 + Z[:, :S]
+                dd2 = dd0 + jnp.einsum("gd,dgl->gl", Z, td)
+                fd2 = fd0 + jnp.einsum("gd,dgl->gl", Z, tf)
+                _, rows = fwd(sp2, dd2, fd2)
+                return jnp.vdot(g_stage, rows)
+
+            gfun = jax.grad(s_hat)
+            _, jvp2 = jax.linearize(gfun, jnp.zeros((G, D), dt))
+            seeds = jnp.broadcast_to(
+                jnp.eye(D, dtype=dt)[:, None, :], (D, G, D))
+            Hx = jax.vmap(jvp2)(seeds)                     # [D, G, D]
+            for mi, cid in enumerate(st.ids):
+                E = jnp.asarray(E_of[(si, mi)], dt)
+                H2 = H2 + E @ Hx[:, mi, :] @ E.T
+
+        for si in ois_first:
+            st = stages[si]
+            b = B[st.key]
+            q_local = qvec[b["qidx"]]
+            G, Qp = q_local.shape
+            g_stage = jnp.stack(
+                [g0[cid * U:(cid + 1) * U] for cid in st.ids])  # [G, U]
+            P1 = b["ts_static"].shape[1]
+            v_stage = jnp.stack([
+                v_of.get(cid, jnp.zeros(P1, dt)) for cid in st.ids])
+            fwd = fwd_of[si]
+
+            def psi(r, fwd=fwd, g_stage=g_stage, v_stage=v_stage):
+                ds, rows = fwd(r)
+                return jnp.vdot(g_stage, rows) + jnp.vdot(v_stage, ds)
+
+            gfun = jax.grad(psi)
+            _, jvp2 = jax.linearize(gfun, q_local)
+            seeds = jnp.broadcast_to(
+                jnp.eye(Qp, dtype=dt)[:, None, :], (Qp, G, Qp))
+            Hs = jax.vmap(jvp2)(seeds)                     # [Qp, G, Qp]
+            for mi, cid in enumerate(st.ids):
+                E = jnp.asarray(E_of[(si, mi)], dt)
+                H2 = H2 + E @ Hs[:, mi, :] @ E.T
+
+        out["gamma"] = term1 + H2
+        return out
+
+    return scenario_risk

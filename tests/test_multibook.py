@@ -640,3 +640,49 @@ class TestShardedMultibook:
                                        axis=("dcn", "book"),
                                        want_gamma=True)
         self._check(fn(mb.basket.quotes0, shocks), ref)
+
+
+class TestStructuredRisk:
+    """The per-stage structured risk pass (parallel/structured_risk.py)
+    must reproduce the generic full-graph closed-form split exactly:
+    same J (delta bitwise), same gamma to f64 contraction noise."""
+
+    def _compare(self, mb, shock_vec):
+        import jax
+        import jax.numpy as jnp
+
+        from adrates_tpu.parallel.multibook import _scenario_risk
+        from adrates_tpu.parallel.structured_risk import \
+            make_structured_risk
+
+        grids = mb.basket.grids
+        params = jax.device_put(mb.basket.params)
+        agg = jax.device_put(mb.aggregate)
+        cl = jax.device_put(mb.clamp) if mb.clamp is not None else None
+        q = jnp.asarray(mb.basket.quotes0) + jnp.asarray(shock_vec)
+        struct = make_structured_risk(mb.basket)
+        a = jax.jit(lambda qq: _scenario_risk(grids, qq, params, agg,
+                                              cl, True))(q)
+        b = jax.jit(lambda qq: struct(qq, params, agg, cl, True))(q)
+        da, db = np.asarray(a["delta"]), np.asarray(b["delta"])
+        assert not np.isnan(db).any()
+        np.testing.assert_allclose(db, da, rtol=1e-9,
+                                   atol=1e-9 * (np.abs(da).max() + 1))
+        ga, gb = np.asarray(a["gamma"]), np.asarray(b["gamma"])
+        assert not np.isnan(gb).any()
+        np.testing.assert_allclose(gb, ga, rtol=1e-7,
+                                   atol=1e-8 * (np.abs(ga).max() + 1))
+
+    def test_multi_currency_book(self, model):
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        rng = np.random.default_rng(11)
+        self._compare(mb, np.zeros(mb.basket.n_quotes))
+        self._compare(mb, rng.normal(0, 1e-3, mb.basket.n_quotes))
+
+    def test_inflation_book(self, model_infl):
+        trades = _infl_trades(model_infl)
+        mb = compile_multibook(trades, model_infl,
+                               base_currency=CurrencyTypes.GBP)
+        self._compare(mb, np.zeros(mb.basket.n_quotes))
