@@ -1460,6 +1460,42 @@ def _scenario_risk(grids, qvec_shocked, P, agg, clamp_agg, want_gamma):
     return out
 
 
+def _trade_row_table(mb: MultiBook) -> np.ndarray:
+    """Static [B, K] row-gather table over the concatenated per-bucket
+    row-PV vector (bucket-major; within a lazily tiled bucket the
+    in-graph expansion is copy-major, row index c*R_b + r — see
+    _expand_cols). Dead slots point at the appended zero row R_total."""
+    base_R = [cb.col_idx.shape[0] for cb in mb.cols]
+    offs = np.cumsum([0] + list(base_R))
+    if mb.tile is not None:
+        n_cop = int(mb.tile.scale.shape[0])
+        B_base = int(mb.tile.base_trades)
+        offs = np.cumsum([0] + [R * n_cop for R in base_R])
+    else:
+        n_cop = 1
+        B_base = mb.n_trades
+    R_total = int(offs[-1])
+
+    rows_of: List[list] = [[] for _ in range(B_base)]
+    for bi, cb in enumerate(mb.cols):
+        rt = np.asarray(cb.row_trade)
+        for r in range(rt.shape[0]):
+            rows_of[int(rt[r])].append((int(offs[bi]) + r, base_R[bi]))
+    K = max((len(x) for x in rows_of), default=1)
+    base_idx = np.full((B_base, K), R_total, dtype=np.int64)
+    stride = np.zeros((B_base, K), dtype=np.int64)
+    for t, lst in enumerate(rows_of):
+        for k, (gidx, rb) in enumerate(lst):
+            base_idx[t, k] = gidx
+            stride[t, k] = rb
+    if n_cop == 1:
+        return base_idx.astype(np.int32)
+    copies = np.arange(n_cop, dtype=np.int64)
+    idx = (base_idx[None, :, :]
+           + copies[:, None, None] * stride[None, :, :])
+    return idx.reshape(n_cop * B_base, K).astype(np.int32)
+
+
 def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     """Jitted (qvec, shocks [S, N]) -> {pvs [S, B], delta [S, N],
     gamma [S, N, N]}: per-trade PVs from the gather sweep (streamed
@@ -1494,18 +1530,36 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     # HBM-aware batch (its [batch, N, C*U] tangent temporaries must
     # fit); the PV sweep uses a small batch (its per-bucket gather
     # temporaries are [batch, R, P]-sized).
+    # Per-trade aggregation as a GATHER, not a scatter: rows of one trade
+    # are found via a static [B, K] row-index table (K = max legs/trade,
+    # dead slots point at an appended zero row). TPU scatter-adds are the
+    # slowest op class in the sweep (docs/tpu_f64_notes.md); the gather
+    # table replaces ~R scatter-adds per scenario with B*K contiguous
+    # gathers. Clamp slots keep the scatter — they are few.
+    trade_rows_idx = jnp.asarray(_trade_row_table(mb))
+
     @jax.jit
     def _pvs(qvec, P, cbs, cl, ag, shocks):
         def grid(shock):
             return grids(qvec + shock, P)
 
         dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
+
+        def sweep(d):
+            v = jnp.concatenate([d, _trip_values(d, ag)])
+            rowpv = jnp.concatenate(
+                [jnp.sum(cb.w * v[cb.col_idx], axis=1) for cb in cbs]
+                + [jnp.zeros(1, d.dtype)])
+            out = jnp.sum(rowpv[trade_rows_idx], axis=1)
+            if cl is not None:
+                out = out.at[cl.slot_trade].add(_clamp_pvs(d, cl))
+            return out
+
         # batch=64 measured best for the column sweep on the 100k book
         # (605 ms vs 1.26 s at 32); batch=100 OOMs HBM — the [batch,R,L]
         # gather temporaries scale with the batch.
-        return lax.map(
-            lambda d: trade_pvs_cols(d, cbs, cl, n_trades, ag), dfs_all,
-            batch_size=min(64, shocks.shape[0]))
+        return lax.map(sweep, dfs_all,
+                       batch_size=min(64, shocks.shape[0]))
 
     # cap the vmapped tangent temporaries near ~1.5 GB of f64: the
     # closed-form split holds TWO [batch, N, C*U] tangent stacks live

@@ -33,9 +33,11 @@ basis sized to the stage's parent set and composes by the chain rule:
     OIS stage: hessian of psi(q_c) = g_c . rows_c(q_c) + v_c . ds_c(q_c),
     again with the Qp-direction group trick.
 
-All block placements are static one-hot matmuls (E @ block @ E'), never
-f64 scatters (the worst TPU op class — docs/tpu_f64_notes.md). The trip
-quad form (term1) reuses multibook._gamma_quad_form on the assembled J.
+All block placements are static contiguous slice updates (each member's
+direction list is a handful of contiguous quote ranges), never f64
+scatters or one-hot matmuls (emulated-f64 MXU flops for pure data
+movement — docs/tpu_f64_notes.md). The trip quad form (term1) reuses
+multibook._gamma_quad_form on the assembled J.
 
 Reference shape being matched: the same J'HJ + sum grad.H_curve split the
 reference assembles per trade (/root/reference/cavour/market/position/
@@ -56,17 +58,6 @@ from .curve_batching import (infl_native_ds, ois_native_ds, stage_rows,
 from .multibook import _gamma_quad_form, aggregate_total
 
 
-def _one_hot(idx: np.ndarray, N: int, D: int, n_live: int) -> np.ndarray:
-    """[N, D] selection matrix: column j routes local direction j onto
-    global quote row idx[j] (duplicate rows ADD — padded local slots
-    alias the last real pillar exactly like the gather they mirror).
-    Columns >= n_live stay zero (inert padded directions)."""
-    E = np.zeros((N, D))
-    for j in range(n_live):
-        E[idx[j], j] += 1.0
-    return E
-
-
 def make_structured_risk(basket):
     """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
     basket's batched stage topology. Requires the basket to have been
@@ -85,22 +76,72 @@ def make_structured_risk(basket):
 
     its_of = [[specs[i].interp_type for i in st.ids] for st in stages]
 
+    # ---- contiguous placement segments per member --------------------
+    # J blocks are placed by dynamic_update_slice, NOT one-hot matmuls:
+    # an [N, Dirs] @ [Dirs, U] f64 matmul per curve is ~1.4 Gflop/scenario
+    # of emulated-f64 MXU work for what is pure data movement. Each
+    # member's direction list is a handful of CONTIGUOUS quote ranges
+    # (its own slice, then each parent's slice) with only the group-pad
+    # duplicates aliasing the parent's last pillar — fold those into the
+    # last live row first, then place each segment with one slice update.
+    def _segments(si, mi):
+        """[(global_offset, n_live, dir_lo, n_dirs_with_pads)] — local
+        dirs [dir_lo, dir_lo+n_dirs) map onto quote rows
+        [global_offset, global_offset+n_live), rows beyond n_live being
+        pad duplicates of the last."""
+        st = stages[si]
+        qidx = np.asarray(bat0[st.key]["qidx"])
+        cid = st.ids[mi]
+        segs = [(specs[cid].offset, specs[cid].n_quotes, 0,
+                 qidx.shape[1])]
+        if st.kind == "xccy" and xmeta[si]["parents"] is not None:
+            p = xmeta[si]["parents"][mi]
+            lo = qidx.shape[1]
+            for sp, mp in ((p["sd"], p["md"]), (p["sf"], p["mf"])):
+                par_cid = stages[sp].ids[mp]
+                n_dirs = np.asarray(bat0[stages[sp].key]["qidx"]).shape[1]
+                segs.append((specs[par_cid].offset,
+                             specs[par_cid].n_quotes, lo, n_dirs))
+                lo += n_dirs
+        return segs
+
+    def _place_rows(block_rows, segs, width):
+        """[Dirs, width] local-direction rows -> [N, width] placement."""
+        out = jnp.zeros((N, width), block_rows.dtype)
+        for off, n_live, lo, n_dirs in segs:
+            seg = block_rows[lo:lo + n_dirs]
+            if n_dirs > n_live:                 # fold pad duplicates
+                seg = seg[:n_live].at[n_live - 1].add(
+                    jnp.sum(seg[n_live:], axis=0))
+            out = jax.lax.dynamic_update_slice(out, seg, (off, 0))
+        return out
+
+    def _place_hess(H2, Hm, segs):
+        """Add a member's [D, D] local hessian into the global [N, N] at
+        its segment-pair blocks (static slices — slice+add+update, not
+        scatter). Pad-duplicate dirs fold into the last live row/col."""
+        for off1, n1, lo1, nd1 in segs:
+            for off2, n2, lo2, nd2 in segs:
+                sub = Hm[lo1:lo1 + nd1, lo2:lo2 + nd2]
+                if nd1 > n1:
+                    sub = sub[:n1].at[n1 - 1].add(
+                        jnp.sum(sub[n1:], axis=0))
+                if nd2 > n2:
+                    sub = sub[:, :n2].at[:, n2 - 1].add(
+                        jnp.sum(sub[:, n2:], axis=1))
+                H2 = H2.at[off1:off1 + n1, off2:off2 + n2].add(sub)
+        return H2
+
     # ---- static direction metadata -----------------------------------
-    # OIS/infl member m of stage si: directions = local quote slots.
-    E_of: Dict[tuple, np.ndarray] = {}
     xmeta: Dict[int, dict] = {}
     for si, st in enumerate(stages):
         qidx = np.asarray(bat0[st.key]["qidx"])
         G, S = qidx.shape
         if st.kind != "xccy":
-            for mi in range(G):
-                E_of[(si, mi)] = _one_hot(qidx[mi], N, S, S)
             continue
         if not st.recal:
             # parents are stop-gradient'd: directions = basis only
             xmeta[si] = dict(D=S, S=S, parents=None)
-            for mi in range(G):
-                E_of[(si, mi)] = _one_hot(qidx[mi], N, S, S)
             continue
         parents = []
         D = 0
@@ -114,10 +155,6 @@ def make_structured_risk(basket):
             parents.append(dict(sd=sd, md=md, qd=qd, p1d=p1d,
                                 sf=sf, mf=mf, qf=qf, p1f=p1f))
             D = max(D, S + qd.shape[0] + qf.shape[0])
-        for mi in range(G):
-            p = parents[mi]
-            pidx = np.concatenate([qidx[mi], p["qd"], p["qf"]])
-            E_of[(si, mi)] = _one_hot(pidx, N, D, pidx.shape[0])
         xmeta[si] = dict(D=D, S=S, parents=parents)
 
     ois_first = [si for si, st in enumerate(stages) if st.kind != "xccy"]
@@ -238,12 +275,12 @@ def make_structured_risk(basket):
         g = jax.grad(
             lambda d: aggregate_total(d, agg, clamp_agg))(dfs_flat)
 
-        # ---- J assembly (one-hot matmuls, block per curve) -----------
+        # ---- J assembly (contiguous slice placement, no matmuls) -----
         blocks = []
         for cid in range(C):
             si, mi = pos_of[cid]
-            E = jnp.asarray(E_of[(si, mi)], dt)             # [N, Dirs]
-            blocks.append(E @ drows_st[si][:, mi, :])       # [N, U]
+            blocks.append(_place_rows(drows_st[si][:, mi, :],
+                                      _segments(si, mi), U))
         J = jnp.concatenate(blocks, axis=1)                 # [N, C*U]
         out = {"delta": J @ g}
         if not want_gamma:
@@ -279,8 +316,8 @@ def make_structured_risk(basket):
                     jnp.eye(S, dtype=dt)[:, None, :], (S, G, S))
                 Hx = jax.vmap(jvp2)(seeds)                 # [S, G, S]
                 for mi, cid in enumerate(st.ids):
-                    E = jnp.asarray(E_of[(si, mi)], dt)
-                    H2 = H2 + E @ Hx[:, mi, :] @ E.T
+                    H2 = _place_hess(H2, Hx[:, mi, :],
+                                     _segments(si, mi))
                 continue
 
             fwd = fwd_of[si]
@@ -319,8 +356,7 @@ def make_structured_risk(basket):
                 jnp.eye(D, dtype=dt)[:, None, :], (D, G, D))
             Hx = jax.vmap(jvp2)(seeds)                     # [D, G, D]
             for mi, cid in enumerate(st.ids):
-                E = jnp.asarray(E_of[(si, mi)], dt)
-                H2 = H2 + E @ Hx[:, mi, :] @ E.T
+                H2 = _place_hess(H2, Hx[:, mi, :], _segments(si, mi))
 
         for si in ois_first:
             st = stages[si]
@@ -344,8 +380,7 @@ def make_structured_risk(basket):
                 jnp.eye(Qp, dtype=dt)[:, None, :], (Qp, G, Qp))
             Hs = jax.vmap(jvp2)(seeds)                     # [Qp, G, Qp]
             for mi, cid in enumerate(st.ids):
-                E = jnp.asarray(E_of[(si, mi)], dt)
-                H2 = H2 + E @ Hs[:, mi, :] @ E.T
+                H2 = _place_hess(H2, Hs[:, mi, :], _segments(si, mi))
 
         out["gamma"] = term1 + H2
         return out
