@@ -257,19 +257,35 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     # gamma tower.
     m_steps = max(int(np.ceil(np.log2(max(depth, 2)))), 1)
 
-    def _doubling_solve(M0, b_):
-        def step(carry, _):
-            x, M = carry
-            return (x + M @ x, M @ M), None
+    # Hoist the matrix-power chain OUT of the solve closures: every call
+    # to the solver (the forward solve, every jvp tangent solve, every
+    # vjp transpose solve, and their second-order nestings in the gamma
+    # tower) previously recomputed the ceil(log2(depth)) squarings
+    # inside its own scan, where XLA cannot CSE across scan boundaries.
+    # Computed once here, the powers are shared residuals: each solve
+    # instance is just m_steps matvecs, and under a vmapped tangent
+    # basis those matvecs batch into [P, P] @ [P, n_dirs] MXU matmuls
+    # while the powers stay unbatched.
+    M0 = prev_onehot / denom[:, None]
+    powers = []
+    Mk = M0
+    for k in range(m_steps):
+        powers.append(Mk)
+        if k + 1 < m_steps:
+            Mk = Mk @ Mk
+    powers_t = [Mk.T for Mk in powers]
 
-        (x, _), __ = lax.scan(step, (b_, M0), None, length=m_steps)
+    def _apply_neumann(Ms, b_):
+        x = b_
+        for Mk in Ms:
+            x = x + Mk @ x
         return x
 
     def solve(_, b_):
-        return _doubling_solve(prev_onehot / denom[:, None], b_)
+        return _apply_neumann(powers, b_)
 
     def transpose_solve(_, y):
-        return _doubling_solve((prev_onehot / denom[:, None]).T, y)
+        return _apply_neumann(powers_t, y)
 
     pv01 = lax.custom_linear_solve(matvec, b, solve,
                                    transpose_solve=transpose_solve)

@@ -165,18 +165,28 @@ def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,
 
     m_steps = max(int(np.ceil(np.log2(max(S, 2)))), 1)
 
-    def _doubling(M0, bb):
-        def stp(carry, _):
-            x, M = carry
-            return (x + M @ x, M @ M), None
+    # Matrix powers hoisted out of the solve closures (see
+    # ops/bootstrap.py): one squaring chain per bootstrap invocation,
+    # shared by the forward solve and every jvp/vjp/second-order solve;
+    # each solve instance is just m_steps matvecs.
+    powers = []
+    Mk = A
+    for k in range(m_steps):
+        powers.append(Mk)
+        if k + 1 < m_steps:
+            Mk = Mk @ Mk
+    powers_t = [Mk.T for Mk in powers]
 
-        (x, _), __ = lax.scan(stp, (bb, M0), None, length=m_steps)
-        return x
+    def _apply_neumann(Ms, bb):
+        v = bb
+        for Mk in Ms:
+            v = v + Mk @ v
+        return v
 
     x = lax.custom_linear_solve(
         lambda v: v - A @ v, b_vec,
-        lambda _, bb: _doubling(A, bb),
-        transpose_solve=lambda _, y: _doubling(A.T, y))
+        lambda _, bb: _apply_neumann(powers, bb),
+        transpose_solve=lambda _, y: _apply_neumann(powers_t, y))
 
     C_final = jnp.concatenate([jnp.ones(1, dtype=base.dtype), x])
     D = x * base_mat

@@ -315,9 +315,20 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         if s.kind == "ois":
             ois_plan_of[i] = basket.params["ois_plans"][k]
             k += 1
+    # Group key buckets the plan SHAPES as well as the solve config:
+    # one merged group forces every member to the max quote/point count,
+    # and the structured risk pass pays one tangent direction per PADDED
+    # quote slot — a 12-pillar curve in a 32-pillar group costs 32
+    # directions. Shape buckets (quotes to the next multiple of 8,
+    # points to the next multiple of 32) keep heterogeneous user models
+    # from degrading to per-curve groups while bounding pad waste.
     groups: Dict[tuple, List[int]] = {}
     for i in ois_ids:
-        groups.setdefault((ois_plan_of[i].loglinear_rates,), []).append(i)
+        p = ois_plan_of[i]
+        key = (p.loglinear_rates,
+               -(-p.swap_times.shape[0] // 8),
+               -(-p.point_times.shape[0] // 32))
+        groups.setdefault(key, []).append(i)
     for gk, ids in groups.items():
         plans = [ois_plan_of[i] for i in ids]
         plan = _stack_ois_plans(plans)

@@ -160,7 +160,8 @@ def make_structured_risk(basket):
     ois_first = [si for si, st in enumerate(stages) if st.kind != "xccy"]
     xccy_last = [si for si, st in enumerate(stages) if st.kind == "xccy"]
 
-    def scenario_risk(qvec, P, agg, clamp_agg, want_gamma):
+    def scenario_risk(qvec, P, agg, clamp_agg, want_gamma,
+                      terms=("t1", "t2")):
         B = P["bat"]
         ut = P["unique_times"]
         dt = qvec.dtype
@@ -286,13 +287,17 @@ def make_structured_risk(basket):
         if not want_gamma:
             return out
 
-        term1 = _gamma_quad_form(J, dfs_flat, agg, clamp_agg)
+        term1 = (_gamma_quad_form(J, dfs_flat, agg, clamp_agg)
+                 if "t1" in terms else jnp.zeros((N, N), dt))
 
         # ---- term2: per-stage hessians, XCCY first (cotangents flow
         # onto the parent OIS natives) ---------------------------------
         g0 = jax.lax.stop_gradient(g)
         H2 = jnp.zeros((N, N), dt)
         v_of: Dict[int, jnp.ndarray] = {}
+        if "t2" not in terms:
+            out["gamma"] = term1
+            return out
 
         for si in xccy_last:
             st = stages[si]
