@@ -1450,7 +1450,7 @@ def _scenario_risk(grids, qvec_shocked, P, agg, clamp_agg, want_gamma):
     N = qvec_shocked.shape[0]
     J = jax.vmap(jvp_fn)(jnp.eye(N, dtype=qvec_shocked.dtype))  # [N, C*U]
     g = jax.grad(lambda d: aggregate_total(d, agg, clamp_agg))(dfs)
-    out = {"delta": J @ g}
+    out = {"delta": J @ g, "dfs": dfs}
     if want_gamma:
         term1 = _gamma_quad_form(J, dfs, agg, clamp_agg)
         g0 = lax.stop_gradient(g)
@@ -1538,28 +1538,59 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     # gathers. Clamp slots keep the scatter — they are few.
     trade_rows_idx = jnp.asarray(_trade_row_table(mb))
 
+    # TRANSPOSED sweep: per-scenario gathers fetch one f64 scalar per
+    # slot (~5.6M random scalar reads x S on the flagship — the gather
+    # unit's descriptor rate bounds the sweep). Transposing the value
+    # table to [M, S] makes each slot's gather fetch a CONTIGUOUS
+    # S-element row (800 B at S=100): the slot count stays the same but
+    # every descriptor moves 100x the payload, and the scenario loop
+    # disappears from the sweep entirely.
     @jax.jit
-    def _pvs(qvec, P, cbs, cl, ag, shocks):
-        def grid(shock):
-            return grids(qvec + shock, P)
+    def _pvs(dfs_all, cbs, cl, ag, tri):
+        S = dfs_all.shape[0]
+        trip_all = jax.vmap(lambda d: _trip_values(d, ag))(dfs_all)
+        vT = jnp.concatenate([dfs_all, trip_all], axis=1).T   # [M, S]
+        rowpvs = []
+        for cb in cbs:
+            R, L = cb.col_idx.shape
+            # bound the [chunk*L, S] gathered temporary near 200 MB f64
+            chunk = max(1, min(R, int(2.5e7 // max(L * S, 1))))
+            pad = (-R) % chunk
+            ci, wi = cb.col_idx, cb.w
+            if pad:
+                ci = jnp.concatenate(
+                    [ci, jnp.zeros((pad, L), ci.dtype)])
+                wi = jnp.concatenate(
+                    [wi, jnp.zeros((pad, L), wi.dtype)])
 
-        dfs_all = jax.vmap(grid)(shocks)            # [S, C*U]
+            def one_chunk(args, S=S):
+                c, w = args
+                Y = vT[c.reshape(-1)].reshape(c.shape + (S,))
+                return jnp.einsum("rl,rls->rs", w, Y)
 
-        def sweep(d):
-            v = jnp.concatenate([d, _trip_values(d, ag)])
-            rowpv = jnp.concatenate(
-                [jnp.sum(cb.w * v[cb.col_idx], axis=1) for cb in cbs]
-                + [jnp.zeros(1, d.dtype)])
-            out = jnp.sum(rowpv[trade_rows_idx], axis=1)
-            if cl is not None:
-                out = out.at[cl.slot_trade].add(_clamp_pvs(d, cl))
-            return out
+            out = lax.map(one_chunk, (ci.reshape(-1, chunk, L),
+                                      wi.reshape(-1, chunk, L)))
+            rowpvs.append(out.reshape(-1, S)[:R])
+        rowpv = jnp.concatenate(
+            rowpvs + [jnp.zeros((1, S), dfs_all.dtype)])
+        pvs_bs = jnp.sum(rowpv[tri], axis=1)                  # [B, S]
+        if cl is not None:
+            dT = dfs_all.T
+            df_s = dT[cl.s_idx]
+            df_e = dT[cl.e_idx]
+            df_p = dT[cl.p_idx]
+            has = (cl.ia > 0.0)[:, None]
+            ia = jnp.where(cl.ia > 0.0, cl.ia, 1.0)[:, None]
+            fwd = jnp.where(has, (df_s / df_e - 1.0) / ia, 0.0)
+            rate = jnp.clip(fwd + cl.spread[:, None],
+                            cl.floor[:, None], cl.cap[:, None])
+            pvs_bs = pvs_bs.at[cl.slot_trade].add(
+                cl.w[:, None] * rate * df_p)
+        return pvs_bs.T
 
-        # batch=64 measured best for the column sweep on the 100k book
-        # (605 ms vs 1.26 s at 32); batch=100 OOMs HBM — the [batch,R,L]
-        # gather temporaries scale with the batch.
-        return lax.map(sweep, dfs_all,
-                       batch_size=min(64, shocks.shape[0]))
+    @jax.jit
+    def _dfs_only(qvec, P, shocks):
+        return jax.vmap(lambda s: grids(qvec + s, P))(shocks)
 
     # cap the vmapped tangent temporaries near ~1.5 GB of f64: the
     # closed-form split holds TWO [batch, N, C*U] tangent stacks live
@@ -1575,6 +1606,12 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     if getattr(basket, "_stages", None) is not None:
         from .structured_risk import make_structured_risk
         structured = make_structured_risk(basket)
+        # the structured pass holds ~3 [batch, N, C*U] f64 arrays live
+        # (J, term1 gathers, per-stage tangent stacks are smaller);
+        # larger scenario batches amortize per-op dispatch overhead —
+        # at batch 51 the flagship risk graph spends ~35us/op on
+        # small-tensor f64 ops, so fewer+bigger is strictly better.
+        risk_batch = max(1, min(int(4e9 // max(N * CU * 8 * 3, 1)), 128))
 
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):
@@ -1582,8 +1619,10 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
             # delta alone is ONE backward pass — cheaper than the
             # N-tangent jacfwd the closed-form split needs for J.
             def one_scenario(shock):
+                dfs = grids(qvec + shock, P)
                 total = lambda q: aggregate_total(grids(q, P), ag, cl_agg)
-                return {"delta": jax.jacrev(total)(qvec + shock)}
+                return {"delta": jax.jacrev(total)(qvec + shock),
+                        "dfs": dfs}
         elif structured is not None:
             def one_scenario(shock):
                 return structured(qvec + shock, P, ag, cl_agg, True)
@@ -1599,15 +1638,24 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         qvec = jnp.asarray(qvec)
         shocks = jnp.asarray(shocks)
         out = _risk(qvec, params, agg, clamp_agg, shocks)
-        out["pvs"] = _pvs(qvec, params, cols, clamp, agg, shocks)
+        # the risk pass already bootstrapped every scenario's grids —
+        # the PV sweep consumes them instead of recomputing
+        dfs_all = out.pop("dfs")
+        out["pvs"] = _pvs(dfs_all, cols, clamp, agg, trade_rows_idx)
         return out
 
     # phase-attribution hooks (bench per-phase artifact, VERDICT r2
     # item 9): call the two compiled programs separately
-    fn.risk_only = lambda qvec, shocks: _risk(
-        jnp.asarray(qvec), params, agg, clamp_agg, jnp.asarray(shocks))
+    def _risk_only(qvec, shocks):
+        out = _risk(jnp.asarray(qvec), params, agg, clamp_agg,
+                    jnp.asarray(shocks))
+        out.pop("dfs", None)
+        return out
+
+    fn.risk_only = _risk_only
     fn.pvs_only = lambda qvec, shocks: _pvs(
-        jnp.asarray(qvec), params, cols, clamp, agg, jnp.asarray(shocks))
+        _dfs_only(jnp.asarray(qvec), params, jnp.asarray(shocks)),
+        cols, clamp, agg, trade_rows_idx)
     return fn
 
 
@@ -1799,6 +1847,7 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis="book",
             pvs = trade_pvs(dfs_flat, bks, cl, n_trades)
             out = _scenario_risk(grids, qvec + shock, Pp, ag, cl_ag,
                                  want_gamma)
+            out.pop("dfs", None)  # replicated grids, no reason to ship
             out["total_pv"] = jnp.sum(pvs)
             return out
         return jax.vmap(one_scenario)(shocks)

@@ -283,7 +283,7 @@ def make_structured_risk(basket):
             blocks.append(_place_rows(drows_st[si][:, mi, :],
                                       _segments(si, mi), U))
         J = jnp.concatenate(blocks, axis=1)                 # [N, C*U]
-        out = {"delta": J @ g}
+        out = {"delta": J @ g, "dfs": dfs_flat}
         if not want_gamma:
             return out
 
