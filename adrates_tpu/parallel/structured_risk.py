@@ -105,31 +105,39 @@ def make_structured_risk(basket):
                 lo += n_dirs
         return segs
 
+    def _fold_pads(seg, n_live, axis):
+        """Fold pad-duplicate rows/cols (beyond n_live) into the last
+        live one — slices and concats only: .at[i].add lowers to an XLA
+        scatter, the worst TPU op class (docs/tpu_f64_notes.md)."""
+        if seg.shape[axis] <= n_live:
+            return seg
+        live = jax.lax.slice_in_dim(seg, 0, n_live - 1, axis=axis)
+        last = jax.lax.slice_in_dim(seg, n_live - 1, n_live, axis=axis)
+        pads = jax.lax.slice_in_dim(seg, n_live, seg.shape[axis],
+                                    axis=axis)
+        last = last + jnp.sum(pads, axis=axis, keepdims=True)
+        return jnp.concatenate([live, last], axis=axis)
+
     def _place_rows(block_rows, segs, width):
         """[Dirs, width] local-direction rows -> [N, width] placement."""
         out = jnp.zeros((N, width), block_rows.dtype)
         for off, n_live, lo, n_dirs in segs:
-            seg = block_rows[lo:lo + n_dirs]
-            if n_dirs > n_live:                 # fold pad duplicates
-                seg = seg[:n_live].at[n_live - 1].add(
-                    jnp.sum(seg[n_live:], axis=0))
+            seg = _fold_pads(block_rows[lo:lo + n_dirs], n_live, 0)
             out = jax.lax.dynamic_update_slice(out, seg, (off, 0))
         return out
 
     def _place_hess(H2, Hm, segs):
         """Add a member's [D, D] local hessian into the global [N, N] at
-        its segment-pair blocks (static slices — slice+add+update, not
+        its segment-pair blocks (slice + add + dynamic_update_slice, not
         scatter). Pad-duplicate dirs fold into the last live row/col."""
         for off1, n1, lo1, nd1 in segs:
             for off2, n2, lo2, nd2 in segs:
                 sub = Hm[lo1:lo1 + nd1, lo2:lo2 + nd2]
-                if nd1 > n1:
-                    sub = sub[:n1].at[n1 - 1].add(
-                        jnp.sum(sub[n1:], axis=0))
-                if nd2 > n2:
-                    sub = sub[:, :n2].at[:, n2 - 1].add(
-                        jnp.sum(sub[:, n2:], axis=1))
-                H2 = H2.at[off1:off1 + n1, off2:off2 + n2].add(sub)
+                sub = _fold_pads(sub, n1, 0)
+                sub = _fold_pads(sub, n2, 1)
+                cur = jax.lax.dynamic_slice(H2, (off1, off2), (n1, n2))
+                H2 = jax.lax.dynamic_update_slice(H2, cur + sub,
+                                                  (off1, off2))
         return H2
 
     # ---- static direction metadata -----------------------------------
