@@ -80,6 +80,12 @@ class OISBootstrapPlan:
         default=0, metadata=dict(static=True))  # max dependency-chain length
     loglinear_rates: bool = dataclasses.field(
         default=True, metadata=dict(static=True))  # rate interp space
+    # [P, Kc] child table (points whose prev is this point) + 0/1 mask:
+    # makes the pv01 system's TRANSPOSE a gather too, so the K-sweep
+    # solver touches no [P, P] matrix at all (see the solver note in
+    # bootstrap_ois).
+    child_idx: np.ndarray = None
+    child_mask: np.ndarray = None
 
 
 def prepare_ois_plan(swap_times: Sequence[float],
@@ -156,12 +162,24 @@ def prepare_ois_plan(swap_times: Sequence[float],
     rows = np.nonzero(prev_idx >= 0)[0]
     prev_onehot[rows, prev_idx[rows]] = 1.0
 
+    children: List[List[int]] = [[] for _ in range(P)]
+    for i in rows:
+        children[prev_idx[i]].append(int(i))
+    kc = max((len(c) for c in children), default=1) or 1
+    child_idx = np.zeros((P, kc), dtype=np.int64)
+    child_mask = np.zeros((P, kc))
+    for j, c in enumerate(children):
+        for k, i in enumerate(c):
+            child_idx[j, k] = i
+            child_mask[j, k] = 1.0
+
     return OISBootstrapPlan(point_times=point_times, accs=accs,
                             prev_idx=prev_idx, pillar_idx=pillar_idx,
                             swap_times=np.asarray(swap_times, dtype=float),
                             pillar_point=pillar_point,
                             prev_onehot=prev_onehot, depth=depth,
-                            loglinear_rates=loglinear_rates)
+                            loglinear_rates=loglinear_rates,
+                            child_idx=child_idx, child_mask=child_mask)
 
 
 def bootstrap_ois(rates, plan: OISBootstrapPlan):
@@ -234,58 +252,48 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     def A(x):
         return jnp.where(has_prev, x[gather_idx], 0.0) / denom
 
-    prev_onehot = jnp.asarray(plan.prev_onehot)
+    child_idx = jnp.asarray(plan.child_idx)
+    child_mask = jnp.asarray(plan.child_mask)
 
     def A_t(y):
-        # transpose of A: aggregate y/denom onto each prev slot. Dense
-        # [P, P] one-hot matvec, NOT a scatter-add — see prev_onehot.
-        return (y / denom) @ prev_onehot
+        # transpose of A via the static child table: position j collects
+        # (y/denom) over the points whose prev is j — gathers, never a
+        # scatter-add or a [P, P] matvec.
+        yd = y / denom
+        return jnp.sum(child_mask * yd[child_idx], axis=-1)
 
     b = accs / denom
 
     def matvec(x):
         return x - A(x)
 
-    # Solve (I - A) x = b by NEUMANN DOUBLING instead of K sequential
-    # sweeps: with A nilpotent of index <= depth (chains point strictly
-    # backward), x = sum_{k<2^m} A^k b for 2^m >= depth. Iterating
-    #     x <- x + M x,   M <- M M
-    # squares the covered power count each step, so ceil(log2(depth))
-    # dense [P, P] matmuls (MXU work, P <= ~100) replace depth
-    # HBM-latency-bound vector sweeps — the bootstrap's serial depth
-    # drops from ~60 to ~6 in every forward, jvp and vjp solve of the
-    # gamma tower.
-    m_steps = max(int(np.ceil(np.log2(max(depth, 2)))), 1)
-
-    # Hoist the matrix-power chain OUT of the solve closures: every call
-    # to the solver (the forward solve, every jvp tangent solve, every
-    # vjp transpose solve, and their second-order nestings in the gamma
-    # tower) previously recomputed the ceil(log2(depth)) squarings
-    # inside its own scan, where XLA cannot CSE across scan boundaries.
-    # Computed once here, the powers are shared residuals: each solve
-    # instance is just m_steps matvecs, and under a vmapped tangent
-    # basis those matvecs batch into [P, P] @ [P, n_dirs] MXU matmuls
-    # while the powers stay unbatched.
-    M0 = prev_onehot / denom[:, None]
-    powers = []
-    Mk = M0
-    for k in range(m_steps):
-        powers.append(Mk)
-        if k + 1 < m_steps:
-            Mk = Mk @ Mk
-    powers_t = [Mk.T for Mk in powers]
-
-    def _apply_neumann(Ms, b_):
-        x = b_
-        for Mk in Ms:
-            x = x + Mk @ x
-        return x
+    # Solve (I - A) x = b by K HORNER SWEEPS of the Neumann series
+    # (x <- b + A x; exact after K = depth sweeps since A is nilpotent —
+    # chains point strictly backward). Both A and A' are pure gathers.
+    #
+    # Why sweeps and not the earlier Neumann DOUBLING (x <- x + Mx,
+    # M <- M@M): doubling's log2(depth) [P, P] matrix squarings are
+    # O(P^3) flops PER SCENARIO and per solve instance. Under the
+    # scenario-BATCHED risk pass (the production shape: the whole solve
+    # graph is vmapped over ~100 scenarios) that is ~4 Gflop of
+    # emulated-f64 matmuls per stage, while the sweeps are depth
+    # sequential [batch, P]-shaped gather+divide steps whose per-step
+    # dispatch amortizes across the batch — measured 52 ms -> (this
+    # change) for the batched stage primal. Doubling only wins for
+    # latency-bound SINGLE-scenario solves, which are not the hot path.
+    K = max(depth, 1)
 
     def solve(_, b_):
-        return _apply_neumann(powers, b_)
+        def step(x, _):
+            return b_ + A(x), None
+        x, __ = lax.scan(step, b_, None, length=K)
+        return x
 
     def transpose_solve(_, y):
-        return _apply_neumann(powers_t, y)
+        def step(x, _):
+            return y + A_t(x), None
+        x, __ = lax.scan(step, y, None, length=K)
+        return x
 
     pv01 = lax.custom_linear_solve(matvec, b, solve,
                                    transpose_solve=transpose_solve)

@@ -102,6 +102,13 @@ def _stack_ois_plans(plans: Sequence[OISBootstrapPlan]) -> OISBootstrapPlan:
     for g, p in enumerate(plans):
         n = p.prev_onehot.shape[0]
         onehot[g, :n, :n] = p.prev_onehot
+    kc = max(p.child_idx.shape[1] for p in plans)
+    child_idx = np.zeros((len(plans), P, kc), dtype=np.int64)
+    child_mask = np.zeros((len(plans), P, kc))
+    for g, p in enumerate(plans):
+        n, k = p.child_idx.shape
+        child_idx[g, :n, :k] = p.child_idx
+        child_mask[g, :n, :k] = p.child_mask
     return OISBootstrapPlan(
         point_times=point_times,
         accs=f("accs", 0.0),
@@ -111,7 +118,8 @@ def _stack_ois_plans(plans: Sequence[OISBootstrapPlan]) -> OISBootstrapPlan:
         pillar_point=f("pillar_point", 0),
         prev_onehot=onehot,
         depth=max(p.depth for p in plans),
-        loglinear_rates=plans[0].loglinear_rates)
+        loglinear_rates=plans[0].loglinear_rates,
+        child_idx=child_idx, child_mask=child_mask)
 
 
 def _stack_xccy_plans(plans: Sequence[XccyBootstrapPlan]

@@ -1614,7 +1614,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         # larger scenario batches amortize per-op dispatch overhead —
         # at batch 51 the flagship risk graph spends ~35us/op on
         # small-tensor f64 ops, so fewer+bigger is strictly better.
-        risk_batch = max(1, min(int(4e9 // max(N * CU * 8 * 3, 1)), 128))
+        risk_batch = max(1, min(int(5e9 // max(N * CU * 8 * 3, 1)), 128))
 
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):
