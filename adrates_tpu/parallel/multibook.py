@@ -2118,8 +2118,11 @@ def make_per_trade_delta_fn(mb: MultiBook, chunk: int = 2048,
             else:
                 def chunk_delta(args):
                     ci, wi = args
-                    return jnp.einsum("bp,bpn->bn",
-                                      wi.astype(Jv.dtype), Jv[ci])
+                    # multiply+sum, not einsum: "bp,bpn->bn" lowers to a
+                    # batch of [1, P] @ [P, N] micro-matmuls (the same
+                    # lowering that cost the PV sweep 7x)
+                    return jnp.sum(
+                        wi.astype(Jv.dtype)[:, :, None] * Jv[ci], axis=1)
 
             deltas = lax.map(chunk_delta, tuple(stacked))
             deltas = deltas.reshape(-1, N)[:R]
