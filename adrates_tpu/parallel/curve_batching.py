@@ -257,27 +257,40 @@ def infl_native_ds(q, b):
     return jnp.where(b["pad_mask"], 1.0, ds)
 
 
+def xccy_legs_pv(dom_ds, b, st: _Stage):
+    """Calibration domestic-leg PVs [G, S] from the stacked dom grids —
+    the ONLY channel through which the domestic curve reaches the XCCY
+    bootstrap (an 8-ish-value bottleneck the structured risk pass
+    exploits: dom-quote directions compose through these S values
+    instead of re-differentiating the whole stage)."""
+    d_it = st.dom_interp
+
+    def one_curve(dts, dds, lts):
+        return jax.vmap(
+            lambda lt: pv_float_leg(dds, dts, d_it, lt))(lts)
+
+    return jax.vmap(one_curve)(b["dom_ts"], dom_ds, b["legs"])
+
+
+def xccy_boot_ds(spreads, pv_dom, for_ds, b, st: _Stage):
+    """[G, S] spreads + dom-leg PVs + stacked foreign grids ->
+    sentinelized native dfs [G, U1]."""
+    _, ds = jax.vmap(
+        bootstrap_xccy, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            spreads, pv_dom, b["for_ts"], for_ds,
+            b["spot_fx"], b["plan"], st.foreign_interp)
+    return jnp.where(b["pad_mask"], 1.0, ds)
+
+
 def xccy_native_ds(spreads, dom_ds, for_ds, b, st: _Stage):
     """[G, S] spreads + stacked parent native dfs -> sentinelized native
     dfs [G, U1]. Parent time grids are static (b["dom_ts"]/b["for_ts"])."""
-    dom_ts = b["dom_ts"]
-    for_ts = b["for_ts"]
     if st.recal:
-        d_it = st.dom_interp
-
-        def one_curve(dts, dds, lts):
-            return jax.vmap(
-                lambda lt: pv_float_leg(dds, dts, d_it, lt))(lts)
-
-        pv_dom = jax.vmap(one_curve)(dom_ts, dom_ds, b["legs"])
+        pv_dom = xccy_legs_pv(dom_ds, b, st)
     else:
         pv_dom = b["pv_dom0"]
         for_ds = lax.stop_gradient(for_ds)
-    _, ds = jax.vmap(
-        bootstrap_xccy, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            spreads, pv_dom, for_ts, for_ds,
-            b["spot_fx"], b["plan"], st.foreign_interp)
-    return jnp.where(b["pad_mask"], 1.0, ds)
+    return xccy_boot_ds(spreads, pv_dom, for_ds, b, st)
 
 
 def stage_rows(ut, ts_static, ds, its: Sequence[InterpTypes]):

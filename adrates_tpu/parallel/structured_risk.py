@@ -54,7 +54,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .curve_batching import (infl_native_ds, ois_native_ds, stage_rows,
-                             xccy_native_ds)
+                             xccy_boot_ds, xccy_legs_pv, xccy_native_ds)
 from .multibook import _gamma_quad_form, aggregate_total
 
 
@@ -248,36 +248,70 @@ def make_structured_risk(basket):
                 xstate[si] = dict(spreads=spreads)
                 continue
 
-            def fwd(sp, dd, fd, b=b, st=st, si=si):
-                ds = xccy_native_ds(sp, dd, fd, b, st)
+            # --- legs sub-stage: the dom curve reaches the bootstrap
+            # ONLY through the [G, S] calibration-leg PVs, so dom-quote
+            # directions compose through this S-value bottleneck instead
+            # of re-differentiating the whole stage per dom direction ---
+            def legs_fn(dd, b=b, st=st):
+                return xccy_legs_pv(dd, b, st)
+
+            pv0, jvp_legs = jax.linearize(legs_fn, dom_ds)
+            Qd = max(p["qd"].shape[0] for p in m["parents"])
+            Qf = max(p["qf"].shape[0] for p in m["parents"])
+            td_legs = jnp.zeros((Qd, G, Ld), dt)
+            for mi in range(G):
+                p = m["parents"][mi]
+                Jd = dds_st[p["sd"]][:, p["md"], :]        # [Qd_m, P1d]
+                td_legs = td_legs.at[
+                    :p["qd"].shape[0], mi, :p["p1d"]].set(Jd)
+            Jpv = jax.vmap(jvp_legs)(td_legs)              # [Qd, G, S]
+
+            # --- boot sub-stage over (spreads, pv, foreign grids) ----
+            def boot_fn(sp, pv, fd, b=b, st=st, si=si):
+                ds = xccy_boot_ds(sp, pv, fd, b, st)
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
                 return ds, rows
 
-            fwd_of[si] = fwd
-            (ds, rows), jvp = jax.linearize(fwd, spreads, dom_ds, for_ds)
+            fwd_of[si] = boot_fn
+            (ds, rows), jvp_boot = jax.linearize(boot_fn, spreads, pv0,
+                                                 for_ds)
 
-            # composed tangents: [D, G, *] — unit basis dirs first, then
-            # parent jacobian columns per member
-            tb = jnp.zeros((D, G, S), dt)
-            tb = tb.at[:S].set(jnp.broadcast_to(
-                jnp.eye(S, dtype=dt)[:, None, :], (S, G, S)))
-            td = jnp.zeros((D, G, Ld), dt)
-            tf = jnp.zeros((D, G, Lf), dt)
+            # boot directions: basis units, pv units, composed foreign
+            D2 = 2 * S + Qf
+            eyeS = jnp.broadcast_to(
+                jnp.eye(S, dtype=dt)[:, None, :], (S, G, S))
+            tb2 = jnp.zeros((D2, G, S), dt).at[:S].set(eyeS)
+            tp2 = jnp.zeros((D2, G, S), dt).at[S:2 * S].set(eyeS)
+            tf2 = jnp.zeros((D2, G, Lf), dt)
             for mi in range(G):
                 p = m["parents"][mi]
-                Jd = dds_st[p["sd"]][:, p["md"], :]        # [Qd, P1d]
-                Jf = dds_st[p["sf"]][:, p["mf"], :]        # [Qf, P1f]
-                qd, qf = p["qd"].shape[0], p["qf"].shape[0]
-                td = td.at[S:S + qd, mi, :p["p1d"]].set(Jd)
-                tf = tf.at[S + qd:S + qd + qf, mi, :p["p1f"]].set(Jf)
+                Jf = dds_st[p["sf"]][:, p["mf"], :]        # [Qf_m, P1f]
+                tf2 = tf2.at[2 * S:2 * S + p["qf"].shape[0], mi,
+                             :p["p1f"]].set(Jf)
 
-            _, drows = jax.vmap(jvp)(tb, td, tf)
-            drows_st[si] = drows
+            _, drows2 = jax.vmap(jvp_boot)(tb2, tp2, tf2)  # [D2, G, U]
+
+            # compose to quote-direction space, per-member layout
+            # matching _segments: [basis | dom quotes | foreign quotes]
+            mems = []
+            for mi in range(G):
+                p = m["parents"][mi]
+                qd_m, qf_m = p["qd"].shape[0], p["qf"].shape[0]
+                dom_block = jnp.einsum("ds,su->du", Jpv[:qd_m, mi],
+                                       drows2[S:2 * S, mi])
+                mems.append(jnp.concatenate([
+                    drows2[:S, mi],
+                    dom_block,
+                    drows2[2 * S:2 * S + qf_m, mi],
+                    jnp.zeros((D - S - qd_m - qf_m, U), dt)]))
+            drows_st[si] = jnp.stack(mems, axis=1)         # [D, G, U]
             for mi, cid in enumerate(st.ids):
                 ds_of[cid] = ds[mi]
                 rows_of[cid] = rows[mi]
             xstate[si] = dict(spreads=spreads, dom_ds=dom_ds,
-                              for_ds=for_ds, td=td, tf=tf)
+                              for_ds=for_ds, pv0=pv0, Jpv=Jpv,
+                              td_legs=td_legs, tf2=tf2,
+                              legs_fn=legs_fn)
 
         # ---- aggregate gradient --------------------------------------
         dfs_flat = jnp.concatenate([rows_of[c] for c in range(C)])
@@ -333,43 +367,84 @@ def make_structured_risk(basket):
                                      _segments(si, mi))
                 continue
 
-            fwd = fwd_of[si]
+            boot_fn = fwd_of[si]
+            sp0, pv0, fd0 = xs["spreads"], xs["pv0"], xs["for_ds"]
+            Jpv, td_legs, tf2 = xs["Jpv"], xs["td_legs"], xs["tf2"]
+            legs_fn = xs["legs_fn"]
+            Qd, Qf = td_legs.shape[0], tf2.shape[0] - 2 * S
 
-            def s_plain(sp, dd, fd, si=si, g_stage=g_stage, fwd=fwd):
-                _, rows = fwd(sp, dd, fd)
+            def s_boot(sp, pv, fd, g_stage=g_stage, boot_fn=boot_fn):
+                _, rows = boot_fn(sp, pv, fd)
                 return jnp.vdot(g_stage, rows)
 
-            gb, gd, gf = jax.grad(s_plain, argnums=(0, 1, 2))(
-                xs["spreads"], xs["dom_ds"], xs["for_ds"])
+            # cotangents at the primal: w_pv routes to the legs' own
+            # hessian AND (via the legs vjp) to the dom parent's native
+            # cotangent; gf routes to the foreign parent directly.
+            gb, gpv, gf = jax.grad(s_boot, argnums=(0, 1, 2))(
+                sp0, pv0, fd0)
+            _, legs_vjp = jax.vjp(legs_fn, xs["dom_ds"])
+            gdd = legs_vjp(gpv)[0]                         # [G, Ld]
             for mi in range(G):
                 p = m["parents"][mi]
-                for key_s, key_m, cot, p1 in (
-                        ("sd", "md", gd, p["p1d"]),
-                        ("sf", "mf", gf, p["p1f"])):
-                    cid_par = (st.dom_ids if key_s == "sd"
-                               else st.for_ids)[mi]
+                for cid_par, cot, p1 in (
+                        (st.dom_ids[mi], gdd, p["p1d"]),
+                        (st.for_ids[mi], gf, p["p1f"])):
                     prev = v_of.get(cid_par)
                     add = cot[mi, :p1]
                     v_of[cid_par] = add if prev is None else prev + add
 
-            td, tf = xs["td"], xs["tf"]
-            sp0, dd0, fd0 = xs["spreads"], xs["dom_ds"], xs["for_ds"]
-
-            def s_hat(Z, sp0=sp0, dd0=dd0, fd0=fd0, td=td, tf=tf,
-                      si=si, g_stage=g_stage, fwd=fwd, S=S):
+            # boot-stage hessian over (basis, pv, composed-foreign) dirs
+            def s_hat(Z, sp0=sp0, pv0=pv0, fd0=fd0, tf2=tf2, S=S):
                 sp2 = sp0 + Z[:, :S]
-                dd2 = dd0 + jnp.einsum("gd,dgl->gl", Z, td)
-                fd2 = fd0 + jnp.einsum("gd,dgl->gl", Z, tf)
-                _, rows = fwd(sp2, dd2, fd2)
-                return jnp.vdot(g_stage, rows)
+                pv2 = pv0 + Z[:, S:2 * S]
+                fd2 = fd0 + jnp.einsum("gd,dgl->gl", Z, tf2)
+                return s_boot(sp2, pv2, fd2)
 
+            D2 = 2 * S + Qf
             gfun = jax.grad(s_hat)
-            _, jvp2 = jax.linearize(gfun, jnp.zeros((G, D), dt))
+            _, jvp2 = jax.linearize(gfun, jnp.zeros((G, D2), dt))
             seeds = jnp.broadcast_to(
-                jnp.eye(D, dtype=dt)[:, None, :], (D, G, D))
-            Hx = jax.vmap(jvp2)(seeds)                     # [D, G, D]
+                jnp.eye(D2, dtype=dt)[:, None, :], (D2, G, D2))
+            Hx2 = jax.vmap(jvp2)(seeds)                    # [D2, G, D2]
+
+            # legs-stage hessian over dom-quote dirs (legs only):
+            # sum_s gpv_s d2 pv_s / dq_dom2
+            gpv0 = jax.lax.stop_gradient(gpv)
+
+            def s_legs(Zd, gpv0=gpv0, td_legs=td_legs,
+                       dom_ds=xs["dom_ds"], legs_fn=legs_fn):
+                dd2 = dom_ds + jnp.einsum("gd,dgl->gl", Zd, td_legs)
+                return jnp.vdot(gpv0, legs_fn(dd2))
+
+            gfun_l = jax.grad(s_legs)
+            _, jvp2_l = jax.linearize(gfun_l, jnp.zeros((G, Qd), dt))
+            seeds_l = jnp.broadcast_to(
+                jnp.eye(Qd, dtype=dt)[:, None, :], (Qd, G, Qd))
+            Hl = jax.vmap(jvp2_l)(seeds_l)                 # [Qd, G, Qd]
+
+            # transform boot hessian to quote space per member and place
             for mi, cid in enumerate(st.ids):
-                H2 = _place_hess(H2, Hx[:, mi, :], _segments(si, mi))
+                p = m["parents"][mi]
+                qd_m, qf_m = p["qd"].shape[0], p["qf"].shape[0]
+                Hb = Hx2[:, mi, :]                         # [D2, D2]
+                Jv = Jpv[:qd_m, mi]                        # [qd_m, S]
+                bb = Hb[:S, :S]
+                bp = Hb[:S, S:2 * S]
+                bf = Hb[:S, 2 * S:2 * S + qf_m]
+                pp = Hb[S:2 * S, S:2 * S]
+                pf = Hb[S:2 * S, 2 * S:2 * S + qf_m]
+                ff = Hb[2 * S:2 * S + qf_m, 2 * S:2 * S + qf_m]
+                q_bd = bp @ Jv.T                           # [S, qd_m]
+                q_dd = Jv @ pp @ Jv.T + Hl[:qd_m, mi, :qd_m]
+                q_df = Jv @ pf                             # [qd_m, qf_m]
+                Hq = jnp.concatenate([
+                    jnp.concatenate([bb, q_bd, bf], axis=1),
+                    jnp.concatenate([q_bd.T, q_dd, q_df], axis=1),
+                    jnp.concatenate([bf.T, q_df.T, ff], axis=1)],
+                    axis=0)
+                # Hq is laid out exactly over this member's segment dirs
+                # (group-pad duplicate dirs folded by _place_hess)
+                H2 = _place_hess(H2, Hq, _segments(si, mi))
 
         for si in ois_first:
             st = stages[si]
