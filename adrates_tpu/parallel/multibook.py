@@ -1779,6 +1779,12 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis="book",
     basket = mb.basket
     grids = basket.grids
     params = jax.device_put(basket.params, repl)
+    # structured per-stage risk (replicated work — only the row sweep
+    # is sharded, so the same pass serves every mesh shape)
+    structured = None
+    if getattr(basket, "_stages", None) is not None:
+        from .structured_risk import make_structured_risk
+        structured = make_structured_risk(basket)
     # aggregate carries the TILED totals already (lazy or materialized)
     agg = jax.device_put(mb.aggregate, repl)
     clamp_agg = _agg_clamp(
@@ -1848,8 +1854,11 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis="book",
         def one_scenario(shock):
             dfs_flat = grids(qvec + shock, Pp)
             pvs = trade_pvs(dfs_flat, bks, cl, n_trades)
-            out = _scenario_risk(grids, qvec + shock, Pp, ag, cl_ag,
-                                 want_gamma)
+            if structured is not None:
+                out = structured(qvec + shock, Pp, ag, cl_ag, want_gamma)
+            else:
+                out = _scenario_risk(grids, qvec + shock, Pp, ag, cl_ag,
+                                     want_gamma)
             out.pop("dfs", None)  # replicated grids, no reason to ship
             out["total_pv"] = jnp.sum(pvs)
             return out
