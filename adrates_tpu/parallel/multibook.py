@@ -1966,6 +1966,10 @@ def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
     grids = basket.grids
     params = jax.device_put(basket.params)
     tables = jax.device_put(T)
+    curvehess = None
+    if getattr(basket, "_stages", None) is not None:
+        from .structured_risk import make_pertrade_curvehess
+        curvehess = make_pertrade_curvehess(basket)
 
     @jax.jit
     def _fn(qvec, P, tb):
@@ -2029,11 +2033,21 @@ def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
             Gc = Gc + quad(cb_, 2.0 * wI * p * u / (ia * v ** 3), Jv, Jv)
             Gm = Gm + Gc
 
-        # curve-Hessian tensor, shared by every selected trade
-        H = jax.jacfwd(jax.jacfwd(
-            lambda q: grids(q, P)))(qvec)                 # [CU, N, N]
-        N_ = H.shape[1]
-        Gm = Gm + (G @ H.reshape(CU, N_ * N_)).reshape(B_sel, N_, N_)
+        # curve-Hessian contraction, shared machinery with the book
+        # gamma: per-stage second-order tensors contracted with each
+        # trade's DF-space gradient (structured_risk). The generic
+        # jacfwd(jacfwd(grids)) [C*U, N, N] fallback needs N^2 tangent
+        # directions through the whole curve graph — intractable at
+        # flagship scale (184^2 directions; the structured path uses
+        # ~3.5k, each through one small stage).
+        if curvehess is not None:
+            Gm = Gm + curvehess(qvec, P, G)
+        else:
+            H = jax.jacfwd(jax.jacfwd(
+                lambda q: grids(q, P)))(qvec)             # [CU, N, N]
+            N_ = H.shape[1]
+            Gm = Gm + (G @ H.reshape(CU, N_ * N_)).reshape(
+                B_sel, N_, N_)
         return Gm
 
     def fn(qvec):

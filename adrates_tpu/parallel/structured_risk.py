@@ -58,10 +58,10 @@ from .curve_batching import (infl_native_ds, ois_native_ds, stage_rows,
 from .multibook import _gamma_quad_form, aggregate_total
 
 
-def make_structured_risk(basket):
-    """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
-    basket's batched stage topology. Requires the basket to have been
-    compiled with batch_curves=True (basket._stages present)."""
+def _build_meta(basket):
+    """Static stage metadata shared by the scenario-risk and per-trade
+    builders: member positions, per-member quote segments, direction
+    metadata for XCCY stages, and the slice-based placement helpers."""
     stages = basket._stages
     specs = basket.specs
     C = len(specs)
@@ -76,71 +76,6 @@ def make_structured_risk(basket):
 
     its_of = [[specs[i].interp_type for i in st.ids] for st in stages]
 
-    # ---- contiguous placement segments per member --------------------
-    # J blocks are placed by dynamic_update_slice, NOT one-hot matmuls:
-    # an [N, Dirs] @ [Dirs, U] f64 matmul per curve is ~1.4 Gflop/scenario
-    # of emulated-f64 MXU work for what is pure data movement. Each
-    # member's direction list is a handful of CONTIGUOUS quote ranges
-    # (its own slice, then each parent's slice) with only the group-pad
-    # duplicates aliasing the parent's last pillar — fold those into the
-    # last live row first, then place each segment with one slice update.
-    def _segments(si, mi):
-        """[(global_offset, n_live, dir_lo, n_dirs_with_pads)] — local
-        dirs [dir_lo, dir_lo+n_dirs) map onto quote rows
-        [global_offset, global_offset+n_live), rows beyond n_live being
-        pad duplicates of the last."""
-        st = stages[si]
-        qidx = np.asarray(bat0[st.key]["qidx"])
-        cid = st.ids[mi]
-        segs = [(specs[cid].offset, specs[cid].n_quotes, 0,
-                 qidx.shape[1])]
-        if st.kind == "xccy" and xmeta[si]["parents"] is not None:
-            p = xmeta[si]["parents"][mi]
-            lo = qidx.shape[1]
-            for sp, mp in ((p["sd"], p["md"]), (p["sf"], p["mf"])):
-                par_cid = stages[sp].ids[mp]
-                n_dirs = np.asarray(bat0[stages[sp].key]["qidx"]).shape[1]
-                segs.append((specs[par_cid].offset,
-                             specs[par_cid].n_quotes, lo, n_dirs))
-                lo += n_dirs
-        return segs
-
-    def _fold_pads(seg, n_live, axis):
-        """Fold pad-duplicate rows/cols (beyond n_live) into the last
-        live one — slices and concats only: .at[i].add lowers to an XLA
-        scatter, the worst TPU op class (docs/tpu_f64_notes.md)."""
-        if seg.shape[axis] <= n_live:
-            return seg
-        live = jax.lax.slice_in_dim(seg, 0, n_live - 1, axis=axis)
-        last = jax.lax.slice_in_dim(seg, n_live - 1, n_live, axis=axis)
-        pads = jax.lax.slice_in_dim(seg, n_live, seg.shape[axis],
-                                    axis=axis)
-        last = last + jnp.sum(pads, axis=axis, keepdims=True)
-        return jnp.concatenate([live, last], axis=axis)
-
-    def _place_rows(block_rows, segs, width):
-        """[Dirs, width] local-direction rows -> [N, width] placement."""
-        out = jnp.zeros((N, width), block_rows.dtype)
-        for off, n_live, lo, n_dirs in segs:
-            seg = _fold_pads(block_rows[lo:lo + n_dirs], n_live, 0)
-            out = jax.lax.dynamic_update_slice(out, seg, (off, 0))
-        return out
-
-    def _place_hess(H2, Hm, segs):
-        """Add a member's [D, D] local hessian into the global [N, N] at
-        its segment-pair blocks (slice + add + dynamic_update_slice, not
-        scatter). Pad-duplicate dirs fold into the last live row/col."""
-        for off1, n1, lo1, nd1 in segs:
-            for off2, n2, lo2, nd2 in segs:
-                sub = Hm[lo1:lo1 + nd1, lo2:lo2 + nd2]
-                sub = _fold_pads(sub, n1, 0)
-                sub = _fold_pads(sub, n2, 1)
-                cur = jax.lax.dynamic_slice(H2, (off1, off2), (n1, n2))
-                H2 = jax.lax.dynamic_update_slice(H2, cur + sub,
-                                                  (off1, off2))
-        return H2
-
-    # ---- static direction metadata -----------------------------------
     xmeta: Dict[int, dict] = {}
     for si, st in enumerate(stages):
         qidx = np.asarray(bat0[st.key]["qidx"])
@@ -165,8 +100,94 @@ def make_structured_risk(basket):
             D = max(D, S + qd.shape[0] + qf.shape[0])
         xmeta[si] = dict(D=D, S=S, parents=parents)
 
-    ois_first = [si for si, st in enumerate(stages) if st.kind != "xccy"]
-    xccy_last = [si for si, st in enumerate(stages) if st.kind == "xccy"]
+    def segments(si, mi):
+        """[(global_offset, n_live, dir_lo, n_dirs_with_pads)] — local
+        dirs [dir_lo, dir_lo+n_dirs) map onto quote rows
+        [global_offset, global_offset+n_live), rows beyond n_live being
+        group-pad duplicates of the last."""
+        st = stages[si]
+        qidx = np.asarray(bat0[st.key]["qidx"])
+        cid = st.ids[mi]
+        segs = [(specs[cid].offset, specs[cid].n_quotes, 0,
+                 qidx.shape[1])]
+        if st.kind == "xccy" and xmeta[si]["parents"] is not None:
+            p = xmeta[si]["parents"][mi]
+            lo = qidx.shape[1]
+            for sp, mp in ((p["sd"], p["md"]), (p["sf"], p["mf"])):
+                par_cid = stages[sp].ids[mp]
+                n_dirs = np.asarray(
+                    bat0[stages[sp].key]["qidx"]).shape[1]
+                segs.append((specs[par_cid].offset,
+                             specs[par_cid].n_quotes, lo, n_dirs))
+                lo += n_dirs
+        return segs
+
+    def fold_pads(seg, n_live, axis):
+        """Fold pad-duplicate rows/cols (beyond n_live) into the last
+        live one — slices and concats only: .at[i].add lowers to an XLA
+        scatter, the worst TPU op class (docs/tpu_f64_notes.md)."""
+        if seg.shape[axis] <= n_live:
+            return seg
+        live = jax.lax.slice_in_dim(seg, 0, n_live - 1, axis=axis)
+        last = jax.lax.slice_in_dim(seg, n_live - 1, n_live, axis=axis)
+        pads = jax.lax.slice_in_dim(seg, n_live, seg.shape[axis],
+                                    axis=axis)
+        last = last + jnp.sum(pads, axis=axis, keepdims=True)
+        return jnp.concatenate([live, last], axis=axis)
+
+    def place_rows(block_rows, segs, width):
+        """[Dirs, width] local-direction rows -> [N, width] placement
+        via contiguous dynamic_update_slice (never one-hot matmuls or
+        scatters)."""
+        out = jnp.zeros((N, width), block_rows.dtype)
+        for off, n_live, lo, n_dirs in segs:
+            seg = fold_pads(block_rows[lo:lo + n_dirs], n_live, 0)
+            out = jax.lax.dynamic_update_slice(out, seg, (off, 0))
+        return out
+
+    def place_hess(H2, Hm, segs):
+        """Add a member's [D, D] local hessian into the global [.., N, N]
+        at its segment-pair blocks (slice + add + dynamic_update_slice).
+        Supports a leading batch axis on H2/Hm."""
+        lead = H2.ndim - 2
+        for off1, n1, lo1, nd1 in segs:
+            for off2, n2, lo2, nd2 in segs:
+                sub = Hm[..., lo1:lo1 + nd1, lo2:lo2 + nd2]
+                sub = fold_pads(sub, n1, lead)
+                sub = fold_pads(sub, n2, lead + 1)
+                start = (0,) * lead + (off1, off2)
+                size = H2.shape[:lead] + (n1, n2)
+                cur = jax.lax.dynamic_slice(H2, start, size)
+                H2 = jax.lax.dynamic_update_slice(H2, cur + sub, start)
+        return H2
+
+    return dict(stages=stages, specs=specs, C=C, N=N, U=U, bat0=bat0,
+                pos_of=pos_of, its_of=its_of, xmeta=xmeta,
+                segments=segments, fold_pads=fold_pads,
+                place_rows=place_rows, place_hess=place_hess,
+                ois_first=[si for si, st in enumerate(stages)
+                           if st.kind != "xccy"],
+                xccy_last=[si for si, st in enumerate(stages)
+                           if st.kind == "xccy"])
+
+
+def make_structured_risk(basket):
+    """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
+    basket's batched stage topology. Requires the basket to have been
+    compiled with batch_curves=True (basket._stages present)."""
+    meta = _build_meta(basket)
+    stages = meta["stages"]
+    specs = meta["specs"]
+    C, N, U = meta["C"], meta["N"], meta["U"]
+    bat0 = meta["bat0"]
+    pos_of = meta["pos_of"]
+    its_of = meta["its_of"]
+    xmeta = meta["xmeta"]
+    _segments = meta["segments"]
+    _place_rows = meta["place_rows"]
+    _place_hess = meta["place_hess"]
+    ois_first = meta["ois_first"]
+    xccy_last = meta["xccy_last"]
 
     def scenario_risk(qvec, P, agg, clamp_agg, want_gamma,
                       terms=("t1", "t2")):
@@ -474,3 +495,255 @@ def make_structured_risk(basket):
         return out
 
     return scenario_risk
+
+
+def _so_tensor(f, x0, seeds):
+    """Second-order directional-derivative tensor
+    T[i, j, ...] = d^2 f/(d s_i)(d s_j) at x0, for member-parallel seed
+    bases (outputs of different group members never mix, so one seed
+    carries every member's direction at once)."""
+    def one(s1):
+        def inner(x):
+            return jax.jvp(f, (x,), (s1,))[1]
+
+        def two(s2):
+            return jax.jvp(inner, (x0,), (s2,))[1]
+        return jax.vmap(two)(seeds)
+    return jax.vmap(one)(seeds)
+
+
+def make_pertrade_curvehess(basket):
+    """Build contract(qvec, P, G) -> [B, N, N] computing
+    sum_k G[b, k] * d2 dfs_flat_k / dq dq for every trade b.
+
+    The contraction is LINEAR in G, so the per-stage second-order
+    response tensors (second-order jvps over each stage's OWN direction
+    basis — at most ~48 directions squared through a small stage graph)
+    are computed once per call and contracted with each trade's DF-space
+    gradient by dense matmuls. This replaces jacfwd(jacfwd(grids))'s
+    [C*U, N, N] tensor, whose N^2 tangent directions through the whole
+    curve graph are intractable at flagship scale (184^2 = 33856
+    directions; the per-stage tensors need ~3.5k TOTAL, each through
+    only its own stage). Chain-rule terms across stages (XCCY -> parent
+    OIS) flow exactly as in scenario term2, with the per-trade cotangent
+    carried through the legs/boot jacobians by matmuls."""
+    meta = _build_meta(basket)
+    stages = meta["stages"]
+    specs = meta["specs"]
+    C, N, U = meta["C"], meta["N"], meta["U"]
+    bat0 = meta["bat0"]
+    pos_of = meta["pos_of"]
+    its_of = meta["its_of"]
+    xmeta = meta["xmeta"]
+    _segments = meta["segments"]
+    _place_hess = meta["place_hess"]
+    ois_first = meta["ois_first"]
+    xccy_last = meta["xccy_last"]
+
+    def contract(qvec, P, G):
+        B = P["bat"]
+        ut = P["unique_times"]
+        dt = qvec.dtype
+        Bn = G.shape[0]
+        out = jnp.zeros((Bn, N, N), dt)
+
+        ds_of: List = [None] * C
+        dds_st: Dict[int, jnp.ndarray] = {}
+        fwd_of: Dict[int, object] = {}
+        so_st: Dict[int, tuple] = {}      # si -> (dsT, rowsT) tensors
+
+        # -------- OIS / inflation stages ------------------------------
+        for si in ois_first:
+            st = stages[si]
+            b = B[st.key]
+            q_local = qvec[b["qidx"]]
+            Gm, Qp = q_local.shape
+
+            def fwd(r, b=b, st=st, si=si):
+                ds = (ois_native_ds(r, b) if st.kind == "ois"
+                      else infl_native_ds(r, b))
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return ds, rows
+
+            fwd_of[si] = fwd
+            (ds, rows), jvp = jax.linearize(fwd, q_local)
+            seeds = jnp.broadcast_to(
+                jnp.eye(Qp, dtype=dt)[:, None, :], (Qp, Gm, Qp))
+            dds, _ = jax.vmap(jvp)(seeds)
+            dds_st[si] = dds
+            for mi, cid in enumerate(st.ids):
+                ds_of[cid] = ds[mi]
+            # [Qp, Qp, G, P1] and [Qp, Qp, G, U]
+            so_st[si] = _so_tensor(fwd, q_local, seeds)
+
+        # own-stage terms for OIS/inflation members
+        for si in ois_first:
+            st = stages[si]
+            _, rowsT = so_st[si]
+            for mi, cid in enumerate(st.ids):
+                Gb = G[:, cid * U:(cid + 1) * U]            # [B, U]
+                Hm = jnp.einsum("bu,iju->bij", Gb,
+                                rowsT[:, :, mi, :])
+                out = _place_hess(out, Hm, _segments(si, mi))
+
+        # -------- XCCY stages -----------------------------------------
+        vnat: Dict[int, jnp.ndarray] = {}   # parent cid -> [B, P1] cot
+        for si in xccy_last:
+            st = stages[si]
+            b = B[st.key]
+            m = xmeta[si]
+            spreads = qvec[b["qidx"]]
+            Gm, S = spreads.shape
+            Ld = b["dom_ts"].shape[1]
+            Lf = b["for_ts"].shape[1]
+
+            def pad_to(v, L):
+                return jnp.concatenate(
+                    [v, jnp.ones(L - v.shape[0], v.dtype)])
+
+            dom_ds = jnp.stack([pad_to(ds_of[st.dom_ids[mi]], Ld)
+                                for mi in range(Gm)])
+            for_ds = jnp.stack([pad_to(ds_of[st.for_ids[mi]], Lf)
+                                for mi in range(Gm)])
+
+            if m["parents"] is None:
+                def fwd0(sp, b=b, st=st, si=si, dom_ds=dom_ds,
+                         for_ds=for_ds):
+                    ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
+                    return stage_rows(ut, b["ts_static"], ds,
+                                      its_of[si])
+
+                seeds = jnp.broadcast_to(
+                    jnp.eye(S, dtype=dt)[:, None, :], (S, Gm, S))
+                rowsT = _so_tensor(fwd0, spreads, seeds)
+                for mi, cid in enumerate(st.ids):
+                    Gb = G[:, cid * U:(cid + 1) * U]
+                    Hm = jnp.einsum("bu,iju->bij", Gb,
+                                    rowsT[:, :, mi, :])
+                    out = _place_hess(out, Hm, _segments(si, mi))
+                continue
+
+            # legs sub-stage
+            def legs_fn(dd, b=b, st=st):
+                return xccy_legs_pv(dd, b, st)
+
+            pv0, jvp_legs = jax.linearize(legs_fn, dom_ds)
+            Qd = max(p["qd"].shape[0] for p in m["parents"])
+            Qf = max(p["qf"].shape[0] for p in m["parents"])
+            td_legs = jnp.zeros((Qd, Gm, Ld), dt)
+            for mi in range(Gm):
+                p = m["parents"][mi]
+                Jd = dds_st[p["sd"]][:, p["md"], :]
+                td_legs = td_legs.at[
+                    :p["qd"].shape[0], mi, :p["p1d"]].set(Jd)
+            Jpv = jax.vmap(jvp_legs)(td_legs)              # [Qd, G, S]
+
+            # dpv/d(dom native): S reverse passes, member-parallel
+            _, legs_vjp = jax.vjp(legs_fn, dom_ds)
+            eyeS_out = jnp.broadcast_to(
+                jnp.eye(S, dtype=dt)[:, None, :], (S, Gm, S))
+            Jlegs_nat = jax.vmap(lambda ct: legs_vjp(ct)[0])(
+                eyeS_out)                                  # [S, G, Ld]
+
+            # boot sub-stage rows over (basis, pv, composed-foreign)
+            tf2 = jnp.zeros((2 * S + Qf, Gm, Lf), dt)
+            for mi in range(Gm):
+                p = m["parents"][mi]
+                Jf = dds_st[p["sf"]][:, p["mf"], :]
+                tf2 = tf2.at[2 * S:2 * S + p["qf"].shape[0], mi,
+                             :p["p1f"]].set(Jf)
+            D2 = 2 * S + Qf
+
+            def boot_z(Z, b=b, st=st, si=si, spreads=spreads, pv0=pv0,
+                       for_ds=for_ds, tf2=tf2, S=S):
+                sp2 = spreads + Z[:, :S]
+                pv2 = pv0 + Z[:, S:2 * S]
+                fd2 = for_ds + jnp.einsum("gd,dgl->gl", Z, tf2)
+                ds = xccy_boot_ds(sp2, pv2, fd2, b, st)
+                return stage_rows(ut, b["ts_static"], ds, its_of[si])
+
+            Z0 = jnp.zeros((Gm, D2), dt)
+            rows0, jvp_boot = jax.linearize(boot_z, Z0)
+            seedsD = jnp.broadcast_to(
+                jnp.eye(D2, dtype=dt)[:, None, :], (D2, Gm, D2))
+            drows2 = jax.vmap(jvp_boot)(seedsD)            # [D2, G, U]
+            rowsTx = _so_tensor(boot_z, Z0, seedsD)  # [D2, D2, G, U]
+
+            # d rows / d (foreign native): Lf forward dirs, boot only
+            def boot_fd(fd, b=b, st=st, si=si, spreads=spreads,
+                        pv0=pv0):
+                ds = xccy_boot_ds(spreads, pv0, fd, b, st)
+                return stage_rows(ut, b["ts_static"], ds, its_of[si])
+
+            _, jvp_fd = jax.linearize(boot_fd, for_ds)
+            eyeLf = jnp.broadcast_to(
+                jnp.eye(Lf, dtype=dt)[:, None, :], (Lf, Gm, Lf))
+            drows_fd = jax.vmap(jvp_fd)(eyeLf)             # [Lf, G, U]
+
+            # legs second-order over composed dom-quote dirs
+            def legs_z(Zd, td_legs=td_legs, dom_ds=dom_ds,
+                       legs_fn=legs_fn):
+                return legs_fn(
+                    dom_ds + jnp.einsum("gd,dgl->gl", Zd, td_legs))
+
+            seedsQd = jnp.broadcast_to(
+                jnp.eye(Qd, dtype=dt)[:, None, :], (Qd, Gm, Qd))
+            legsT = _so_tensor(legs_z, jnp.zeros((Gm, Qd), dt),
+                               seedsQd)                # [Qd, Qd, G, S]
+
+            for mi, cid in enumerate(st.ids):
+                p = m["parents"][mi]
+                qd_m, qf_m = p["qd"].shape[0], p["qf"].shape[0]
+                Gb = G[:, cid * U:(cid + 1) * U]            # [B, U]
+                # per-trade cotangents through the bottlenecks
+                w_pv = jnp.einsum("bu,su->bs", Gb,
+                                  drows2[S:2 * S, mi])      # [B, S]
+                v_dom = jnp.einsum("bs,sl->bl", w_pv,
+                                   Jlegs_nat[:, mi, :])     # [B, Ld]
+                v_for = jnp.einsum("bu,lu->bl", Gb,
+                                   drows_fd[:, mi, :])      # [B, Lf]
+                dcid, fcid = st.dom_ids[mi], st.for_ids[mi]
+                for cid_par, vb, p1 in ((dcid, v_dom, p["p1d"]),
+                                        (fcid, v_for, p["p1f"])):
+                    prev = vnat.get(cid_par)
+                    add = vb[:, :p1]
+                    vnat[cid_par] = add if prev is None else prev + add
+
+                # boot-stage hessian contracted with this trade
+                Hb = jnp.einsum("bu,iju->bij", Gb,
+                                rowsTx[:, :, mi, :])     # [B, D2, D2]
+                Jv = Jpv[:qd_m, mi]                      # [qd_m, S]
+                bb = Hb[:, :S, :S]
+                bp = Hb[:, :S, S:2 * S]
+                bf = Hb[:, :S, 2 * S:2 * S + qf_m]
+                pp = Hb[:, S:2 * S, S:2 * S]
+                pf = Hb[:, S:2 * S, 2 * S:2 * S + qf_m]
+                ff = Hb[:, 2 * S:2 * S + qf_m, 2 * S:2 * S + qf_m]
+                q_bd = jnp.einsum("bsp,dp->bsd", bp, Jv)
+                q_dd = jnp.einsum("dp,bpq,eq->bde", Jv, pp, Jv) \
+                    + jnp.einsum("bs,ijs->bij", w_pv,
+                                 legsT[:qd_m, :qd_m, mi, :])
+                q_df = jnp.einsum("dp,bpf->bdf", Jv, pf)
+                Hq = jnp.concatenate([
+                    jnp.concatenate([bb, q_bd, bf], axis=2),
+                    jnp.concatenate([jnp.swapaxes(q_bd, 1, 2), q_dd,
+                                     q_df], axis=2),
+                    jnp.concatenate([jnp.swapaxes(bf, 1, 2),
+                                     jnp.swapaxes(q_df, 1, 2), ff],
+                                    axis=2)], axis=1)
+                out = _place_hess(out, Hq, _segments(si, mi))
+
+        # -------- parent-chain second-order terms ---------------------
+        for si in ois_first:
+            st = stages[si]
+            dsT, _ = so_st[si]
+            for mi, cid in enumerate(st.ids):
+                vb = vnat.get(cid)
+                if vb is None:
+                    continue
+                Hm = jnp.einsum("bl,ijl->bij", vb,
+                                dsT[:, :, mi, :])
+                out = _place_hess(out, Hm, _segments(si, mi))
+        return out
+
+    return contract

@@ -384,6 +384,21 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"per-trade ladder config failed: {type(e).__name__}: {e}")
 
+    # --- per-trade gamma matrices (selected trades, single scenario) ----
+    try:
+        from adrates_tpu.parallel import make_per_trade_gamma_fn
+        sel = rng.choice(n_total, 256, replace=False)
+        pt_gamma = make_per_trade_gamma_fn(mb, sel)
+        float(jnp.sum(pt_gamma(q0)))
+        t0 = time.perf_counter()
+        float(jnp.sum(pt_gamma(q0)))
+        phases["per_trade_gamma_256_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        log(f"per-trade gamma matrices [256 x {N} x {N}]: "
+            f"{phases['per_trade_gamma_256_ms']:.0f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"per-trade gamma config failed: {type(e).__name__}: {e}")
+
     # per-phase artifact (VERDICT r2 item 9): attribute round-over-round
     # regressions without re-deriving the split from stderr
     phases["n_trades"] = n_total
