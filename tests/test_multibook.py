@@ -356,6 +356,21 @@ class TestPerTradeGamma:
                                    res.gamma.risk_ladder,
                                    rtol=1e-8, atol=1e-8)
 
+    def test_inflation_book_sums(self, model_infl):
+        """Per-trade gammas on a ZCIS/YoY book (inflation-factor curve
+        rows + breakeven quotes) sum to the book gamma."""
+        from adrates_tpu.parallel import make_per_trade_gamma_fn
+        trades = _infl_trades(model_infl)
+        mb = compile_multibook(trades, model_infl,
+                               base_currency=CurrencyTypes.GBP)
+        per = make_per_trade_gamma_fn(mb, list(range(len(trades))))
+        gm = np.asarray(per(mb.basket.quotes0))
+        fn = make_multibook_fn(mb, want_gamma=True)
+        out = fn(mb.basket.quotes0, np.zeros((1, mb.basket.n_quotes)))
+        np.testing.assert_allclose(gm.sum(axis=0),
+                                   np.asarray(out["gamma"])[0],
+                                   rtol=1e-9, atol=1e-5)
+
     def test_lazy_tile_selection(self, model):
         """Selecting the same base trade from different lazy copies
         scales its gamma by the copy's notional multiplier."""
