@@ -138,11 +138,13 @@ class Interpolator:
                         self._aux)
         return out
 
+    def simple_interpolate(self, t, times, dfs, method: int):
+        """Stateless scalar-scheme interpolation (reference
+        interpolator.py:424-454 / interpolator_ad.py:187-249)."""
+        from ...ops.interpolation import simple_df
+        return simple_df(t, times, dfs, InterpTypes(method))
+
 
 class InterpolatorAd(Interpolator):
     """AD-stack interpolator (same unified kernels; kept as a distinct name
     for API parity with interpolator_ad.py)."""
-
-    def simple_interpolate(self, t, times, dfs, method: int):
-        from ...ops.interpolation import simple_df
-        return simple_df(t, times, dfs, InterpTypes(method))

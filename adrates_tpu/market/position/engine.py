@@ -63,6 +63,19 @@ class Engine:
                    reqs=len(reqs)), on_request_device():
             return self._compute(derivative, reqs, collateral_type, dtype)
 
+    # Single-measure convenience wrappers (reference engine.py:2150-2243
+    # keeps legacy valuation/delta/gamma entry points; here they are thin
+    # routes into the same compute path, so every instrument type works).
+
+    def valuation(self, derivative):
+        return self.compute(derivative, [RequestTypes.VALUE]).value
+
+    def delta(self, derivative):
+        return self.compute(derivative, [RequestTypes.DELTA]).risk
+
+    def gamma(self, derivative):
+        return self.compute(derivative, [RequestTypes.GAMMA]).gamma
+
     def _compute(self, derivative, reqs, collateral_type, dtype
                  ) -> AnalyticsResult:
         if dtype == InstrumentTypes.OIS_SWAP:

@@ -154,6 +154,16 @@ class Delta:
         return Ladder(dict(zip(self.tenors, self.risk_ladder.tolist())),
                       self.curve_type.name)
 
+    def __call__(self, curve_type: CurveTypes) -> "Delta":
+        """Risk-style lookup on a single-curve ladder, so `res.risk(ct)`
+        works whether the engine packaged one Delta or a Risk container
+        (reference results.py Risk.__call__)."""
+        if curve_type != self.curve_type:
+            raise KeyError(
+                f"No delta for {curve_type.name}; this ladder is on "
+                f"{self.curve_type.name}")
+        return self
+
     @property
     def df(self) -> pd.DataFrame:
         return self.ladder.df
@@ -220,6 +230,20 @@ class Gamma:
     @property
     def value(self) -> Value:
         return Value(float(np.sum(self.risk_ladder)), self.currency)
+
+    @property
+    def risk_matrix(self) -> np.ndarray:
+        """Dense [N, N] matrix view (1-D diagonal ladders expand)."""
+        m = self.risk_ladder
+        return np.diag(m) if m.ndim == 1 else m
+
+    def __call__(self, curve_type: CurveTypes) -> "Gamma":
+        """Risk-style lookup on a single-curve matrix (see Delta)."""
+        if curve_type != self.curve_type:
+            raise KeyError(
+                f"No gamma for {curve_type.name}; this matrix is on "
+                f"{self.curve_type.name}")
+        return self
 
     @property
     def matrix(self) -> Dict[str, Dict[str, float]]:
@@ -411,6 +435,16 @@ class CrossGamma:
 
     def to_json(self, indent: Optional[int] = 2) -> str:
         return json.dumps(self.to_dict(), indent=indent)
+
+    def to_csv(self, filepath: Optional[str] = None) -> Optional[str]:
+        """Matrix as CSV (reference results.py CrossGamma.to_csv)."""
+        if filepath:
+            self.df.to_csv(filepath)
+            return None
+        return self.df.to_csv()
+
+    def to_excel(self, filepath: str, sheet_name: str = "CrossGamma"):
+        self.df.to_excel(filepath, sheet_name=sheet_name)
 
     def plot(self, **kwargs):
         try:

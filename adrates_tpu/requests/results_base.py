@@ -25,6 +25,18 @@ class BaseResult(ABC):
         """Subclasses may override with content checks."""
         return True
 
+    @property
+    def df(self):
+        """Tabular (pandas DataFrame) view of the result
+        (reference results_base.py:52-59). Subclasses that have a
+        natural table override this."""
+        import pandas as pd
+        return pd.DataFrame([self.to_dict()])
+
+    def summary(self) -> str:
+        """Human-readable text summary (reference results_base.py:247-254)."""
+        return str(self)
+
 
 class ArithmeticMixin:
     """Currency-checked arithmetic for amount-bearing results."""
@@ -75,6 +87,16 @@ class AggregationMixin:
         return float(sum(getattr(cf, "discounted_amount", 0.0)
                          for cf in getattr(self, "_items", [])))
 
+    def sum(self):
+        """Sum all elements (reference results_base.py:264-273); containers
+        with a natural total override — default is the PV total."""
+        return self.total_pv
+
+    def aggregate(self, func):
+        """Apply a custom aggregation over the contained items
+        (reference results_base.py:275-285)."""
+        return func(list(getattr(self, "_items", [])))
+
 
 class ValidationMixin:
     """NaN/Inf/shape/currency validators (results_base.py:288-356)."""
@@ -108,3 +130,26 @@ class ValidationMixin:
         a = np.asarray(arr)
         if a.ndim != 2 or a.shape[0] != a.shape[1]:
             raise ValueError(f"{name} must be square, got {a.shape}")
+
+    @staticmethod
+    def validate_shape_match(arr, tenors, name: str = "array") -> bool:
+        """Array length must match the tenor label count
+        (reference results_base.py:334-353)."""
+        a = np.asarray(arr)
+        if a.shape[0] != len(tenors):
+            raise ValueError(
+                f"{name} length {a.shape[0]} does not match "
+                f"{len(tenors)} tenors")
+        return True
+
+    @staticmethod
+    def validate_currency_match(currency1, currency2,
+                                operation: str = "operation") -> bool:
+        """Two currencies must match for the given operation
+        (reference results_base.py:356-376)."""
+        if currency1 is not currency2:
+            raise ValueError(
+                f"Currency mismatch in {operation}: "
+                f"{getattr(currency1, 'name', currency1)} vs "
+                f"{getattr(currency2, 'name', currency2)}")
+        return True

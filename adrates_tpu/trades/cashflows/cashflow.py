@@ -51,6 +51,22 @@ class SingleFixedCashflow:
             / discount_curve.df(value_dt, day_count)
         return self._amount * df
 
+    def print_valuation(self, value_dt: Date, discount_curve,
+                        day_count: DayCountTypes = DayCountTypes.ACT_ACT_ISDA
+                        ) -> None:
+        """One-row payment/DF/PV table (reference cashflow.py:116-149)."""
+        from ...utils.helpers import format_table
+        if self._payment_dt <= value_dt:
+            df, pv = 0.0, 0.0
+        else:
+            df = float(discount_curve.df(self._payment_dt, day_count)
+                       / discount_curve.df(value_dt, day_count))
+            pv = self._amount * df
+        print(format_table(
+            ["PAY_NUM", "PAY_dt", "AMOUNT", "DF", "PV", "CUM_PV"],
+            [[1, str(self._payment_dt), round(self._amount, 2),
+              round(df, 6), round(pv, 2), round(pv, 2)]]))
+
     def __repr__(self):
         return (f"SingleFixedCashflow({self._amount} "
                 f"{self._currency.name} @ {self._payment_dt})")

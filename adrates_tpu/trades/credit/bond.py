@@ -411,6 +411,31 @@ class Bond:
 
     # ------------------------------------------------------------------
 
+    def print_valuation(self, value_dt: Date, discount_curve,
+                        z_spread: float = 0.0, settlement_dt: Date = None):
+        """Per-cashflow PV table + clean/dirty/accrued summary (reference
+        bond.py:915-1026)."""
+        self.value(value_dt, discount_curve, z_spread, settlement_dt)
+        settle = settlement_dt or value_dt
+        header = ["PAY_NUM", "PAY_dt", "COUPON", "PRINCIPAL", "DF", "PV",
+                  "CUM_PV"]
+        cum = 0.0
+        rows = []
+        for i in range(self._num_coupons):
+            pv = float(self._coupon_pvs[i]) + float(self._principal_pvs[i])
+            cum += pv
+            rows.append([i + 1, str(self._payment_dts[i]),
+                         round(self._coupon_payments[i], 2),
+                         round(self._principal_payments[i], 2),
+                         round(float(self._payment_dfs[i]), 6),
+                         round(pv, 2), round(cum, 2)])
+        print(format_table(header, rows))
+        print(f"ACCRUED INTEREST: {self.accrued_interest(settle):,.4f}")
+        print(f"DIRTY PRICE:      "
+              f"{self.dirty_price(value_dt, discount_curve, z_spread, settlement_dt):,.6f}")
+        print(f"CLEAN PRICE:      "
+              f"{self.clean_price(value_dt, discount_curve, z_spread, settlement_dt):,.6f}")
+
     def print_payments(self):
         header = ["PAY_NUM", "PAY_dt", "ACCR_START", "ACCR_END", "YEARFRAC",
                   "COUPON", "PRINCIPAL"]

@@ -274,6 +274,24 @@ class FRN:
 
     # ------------------------------------------------------------------
 
+    def print_valuation(self):
+        """Per-coupon rate/PV table (reference frn.py print_valuation) —
+        requires a prior value()."""
+        if not hasattr(self, "_payment_pvs"):
+            raise LibError("FRN has not been valued — call value() first")
+        header = ["PAY_NUM", "PAY_dt", "RATE", "PMNT", "DF", "PV", "CUM_PV"]
+        cum = 0.0
+        rows = []
+        for i in range(self._num_coupons):
+            pv = float(self._payment_pvs[i])
+            cum += pv
+            rows.append([i + 1, str(self._payment_dts[i]),
+                         round(float(self._rates[i]), 8),
+                         round(float(self._coupon_payments[i]), 2),
+                         round(float(self._payment_dfs[i]), 6),
+                         round(pv, 2), round(cum, 2)])
+        print(format_table(header, rows))
+
     def print_payments(self):
         header = ["PAY_NUM", "PAY_dt", "ACCR_START", "ACCR_END", "YEARFRAC"]
         rows = [[i + 1, str(self._payment_dts[i]),

@@ -16,7 +16,7 @@ from ...utils.date import Date
 from ...utils.day_count import DayCountTypes
 from ...utils.error import LibError
 from ...utils.global_types import InstrumentTypes, SwapTypes
-from ...utils.helpers import label_to_string
+from ...utils.helpers import format_table, label_to_string
 
 
 class SwapInflationLeg:
@@ -94,6 +94,36 @@ class SwapInflationLeg:
         if self._leg_type == SwapTypes.PAY:
             leg_pv = -leg_pv
         return leg_pv
+
+    # ------------------------------------------------------------------
+    # reporting (reference swap_inflation_leg.py print_payments /
+    # print_valuation — single-exchange leg, so one row each)
+
+    def _require_valued(self):
+        if not hasattr(self, "_payment_amount"):
+            raise LibError("Leg has not been valued — call value() first")
+
+    def print_payments(self):
+        self._require_valued()
+        header = ["PAY_NUM", "PAY_dt", "BASE_CPI", "FINAL_CPI", "RETURN",
+                  "PMNT"]
+        rows = [[1, str(self._payment_dt),
+                 round(float(self._base_index), 5),
+                 round(float(self._final_index), 5),
+                 round(float(self._inflation_return), 8),
+                 round(float(self._payment_amount), 2)]]
+        print(format_table(header, rows))
+
+    def print_valuation(self):
+        self._require_valued()
+        sign = -1.0 if self._leg_type == SwapTypes.PAY else 1.0
+        pv = sign * float(self._payment_pv)
+        header = ["PAY_NUM", "PAY_dt", "PMNT", "DF", "PV", "CUM_PV"]
+        rows = [[1, str(self._payment_dt),
+                 round(float(self._payment_amount), 2),
+                 round(float(self._payment_df), 6),
+                 round(pv, 2), round(pv, 2)]]
+        print(format_table(header, rows))
 
     def __repr__(self):
         s = label_to_string("OBJECT TYPE", type(self).__name__)

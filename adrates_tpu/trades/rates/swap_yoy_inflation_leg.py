@@ -169,6 +169,26 @@ class SwapYoYInflationLeg:
                 for i in range(len(self._payment_dts))]
         print(format_table(header, rows))
 
+    def print_valuation(self):
+        """Per-payment PV table (reference swap_yoy_inflation_leg.py
+        print_valuation) — requires a prior value()."""
+        if not hasattr(self, "_pvs"):
+            raise LibError("Leg has not been valued — call value() first")
+        sign = -1.0 if self._leg_type == SwapTypes.PAY else 1.0
+        header = ["PAY_NUM", "PAY_dt", "YOY_RATE", "PMNT", "DF", "PV",
+                  "CUM_PV"]
+        cum = 0.0
+        rows = []
+        for i in range(len(self._payment_dts)):
+            pv = sign * float(self._pvs[i])
+            cum += pv
+            rows.append([i + 1, str(self._payment_dts[i]),
+                         round(float(self._yoy_rates[i]), 8),
+                         round(float(self._payments[i]), 2),
+                         round(float(self._dfs[i]), 6),
+                         round(pv, 2), round(cum, 2)])
+        print(format_table(header, rows))
+
     def __repr__(self):
         return (f"SwapYoYInflationLeg({self._effective_dt} -> "
                 f"{self._maturity_dt}, {self._leg_type.name}, "

@@ -133,6 +133,21 @@ class XccyFixFix:
                                     self._foreign_leg._leg_type)
         return dom_pv + spot_fx * for_pv
 
+    def print_payments(self):
+        """Both fixed legs' payment schedules (reference
+        xccy_fix_fix_swap.py print_payments)."""
+        print("DOMESTIC FIXED LEG:")
+        self._domestic_leg.print_payments()
+        print("FOREIGN FIXED LEG:")
+        self._foreign_leg.print_payments()
+
+    def print_valuation(self):
+        """Both legs' PV tables — requires a prior value()."""
+        print("DOMESTIC FIXED LEG:")
+        self._domestic_leg.print_valuation()
+        print("FOREIGN FIXED LEG:")
+        self._foreign_leg.print_valuation()
+
     def __repr__(self):
         return (f"XccyFixFix({self._effective_dt} -> {self._maturity_dt}, "
                 f"{self._domestic_leg_type.name} "

@@ -136,6 +136,21 @@ class XccyFixFloat:
                                          first_fixing_rate_foreign)
         return dom_pv + spot_fx * for_pv
 
+    def print_payments(self):
+        """Both legs' payment schedules (reference
+        xccy_fix_float_swap.py print_payments)."""
+        print("DOMESTIC FIXED LEG:")
+        self._domestic_leg.print_payments()
+        print("FOREIGN FLOAT LEG:")
+        self._foreign_leg.print_payments()
+
+    def print_valuation(self):
+        """Both legs' PV tables — requires a prior value()."""
+        print("DOMESTIC FIXED LEG:")
+        self._domestic_leg.print_valuation()
+        print("FOREIGN FLOAT LEG:")
+        self._foreign_leg.print_valuation()
+
     def __repr__(self):
         return (f"XccyFixFloat({self._effective_dt} -> {self._maturity_dt},"
                 f" {self._domestic_leg_type.name} fixed "

@@ -123,6 +123,21 @@ class YoYInflationSwap:
         return abs(self._notional * self._annuity(value_dt, discount_curve)
                    * 1e-4)
 
+    def print_payments(self):
+        """Both legs' payment schedules (reference yoy_inflation_swap.py
+        print_payments)."""
+        print("FIXED LEG:")
+        self._fixed_leg.print_payments()
+        print("INFLATION LEG:")
+        self._inflation_leg.print_payments()
+
+    def print_valuation(self):
+        """Both legs' per-payment PV tables — requires a prior value()."""
+        print("FIXED LEG:")
+        self._fixed_leg.print_valuation()
+        print("INFLATION LEG:")
+        self._inflation_leg.print_valuation()
+
     def __repr__(self):
         return (f"YoYInflationSwap({self._effective_dt} -> "
                 f"{self._maturity_dt}, {self._fixed_leg_type.name} fixed "

@@ -135,6 +135,41 @@ class ZeroCouponInflationSwap:
             * (1.0 + self._fixed_rate) ** (year_frac - 1.0) * df
         return abs(dpv_dr) * 1e-4
 
+    # ------------------------------------------------------------------
+    # reporting (reference zcis.py:321-438)
+
+    def print_payments(self):
+        """Both single exchanges: the fixed compounded payment and the
+        inflation leg's payment (requires a prior value())."""
+        if not hasattr(self, "_fixed_payment"):
+            raise LibError("Swap has not been valued — call value() first")
+        print("FIXED LEG:")
+        from ...utils.helpers import format_table
+        print(format_table(
+            ["PAY_NUM", "PAY_dt", "RATE", "PMNT"],
+            [[1, str(self._payment_dt), self._fixed_rate,
+              round(float(self._fixed_payment), 2)]]))
+        print("INFLATION LEG:")
+        self._inflation_leg.print_payments()
+
+    def print_valuation(self):
+        """PV breakdown by leg (reference zcis.py:358-438)."""
+        if not hasattr(self, "_fixed_pv"):
+            raise LibError("Swap has not been valued — call value() first")
+        print("=" * 70)
+        print("ZERO-COUPON INFLATION SWAP VALUATION")
+        print("=" * 70)
+        print(f"START DATE:    {self._effective_dt}")
+        print(f"MATURITY DATE: {self._maturity_dt}")
+        print(f"PAYMENT DATE:  {self._payment_dt}")
+        print(f"NOTIONAL:      {self._notional:,.2f}")
+        print(f"FIXED RATE:    {self._fixed_rate:.6f} "
+              f"({self._fixed_leg_type.name})")
+        print(f"FIXED PV:      {float(self._fixed_pv):,.2f}")
+        print(f"INFLATION PV:  {float(self._inflation_pv):,.2f}")
+        print(f"SWAP PV:       "
+              f"{float(self._fixed_pv) + float(self._inflation_pv):,.2f}")
+
     def __repr__(self):
         return (f"ZCIS({self._effective_dt} -> {self._maturity_dt}, "
                 f"{self._fixed_leg_type.name} fixed {self._fixed_rate}, "
