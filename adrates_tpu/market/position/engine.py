@@ -40,9 +40,10 @@ from ...utils.global_types import (CollateralType, InstrumentTypes,
                                    collateral_to_currency,
                                    get_discount_curve_name)
 from ...utils.helpers import to_tenor
+from .engine_legacy import LegacyLegAnalytics
 
 
-class Engine:
+class Engine(LegacyLegAnalytics):
     """Routes instruments to pricing kernels and runs the AD risk chain."""
 
     def __init__(self, model):

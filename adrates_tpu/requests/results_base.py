@@ -73,6 +73,12 @@ class VisualizationMixin:
         raise NotImplementedError(
             f"{type(self).__name__} does not define a plot")
 
+    def summary(self) -> str:
+        """Human-readable text summary (reference results_base.py:247-254
+        puts this on the visualization mixin; BaseResult also carries it
+        for classes that skip the mixin)."""
+        return str(self)
+
 
 class AggregationMixin:
     """Totals over amount collections."""

@@ -83,6 +83,27 @@ def easter_monday_day_of_year(year: int) -> int:
     return easter_sunday_day_of_year(year) + 1
 
 
+class _EasterMondayTable:
+    """Parity shim for the reference's 1901-2200 Easter Monday
+    day-of-year lookup list (reference calendar.py:51-100, indexed
+    ``easterMondayDay[y - 1901]``); entries come from the computus
+    above instead of a hand-maintained table."""
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return [self[i] for i in range(*idx.indices(300))]
+        return easter_monday_day_of_year(1901 + idx)
+
+    def __len__(self):
+        return 300
+
+    def __iter__(self):
+        return (self[i] for i in range(300))
+
+
+easterMondayDay = _EasterMondayTable()
+
+
 # ---------------------------------------------------------------------------
 # Per-calendar holiday rules. Each takes (d, m, y, weekday, doy) where doy is
 # the 1-based day-of-year, and returns True if the date is a bank holiday.
@@ -603,6 +624,61 @@ class Calendar:
         if rule is None:
             raise LibError("Unknown calendar " + str(self._cal_type))
         return rule(dt.d(), dt.m(), dt.y(), dt.weekday(), dt.day_of_year())
+
+    # ------------------------------------------------------------------
+    # per-region holiday queries (reference calendar.py:328-1103 exposes
+    # one method per region on the Calendar class; these delegate to the
+    # module-level rule functions regardless of this calendar's own type)
+
+    def _rule_holiday(self, cal_type: CalendarTypes, dt: Date) -> bool:
+        return bool(_HOLIDAY_RULES[cal_type](
+            dt.d(), dt.m(), dt.y(), dt.weekday(), dt.day_of_year()))
+
+    def holiday_none(self, dt: Date) -> bool:
+        return False
+
+    def holiday_weekend(self, dt: Date) -> bool:
+        """Weekends by themselves are the holiday."""
+        return dt.is_weekend()
+
+    def holiday_australia(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.AUSTRALIA, dt)
+
+    def holiday_canada(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.CANADA, dt)
+
+    def holiday_france(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.FRANCE, dt)
+
+    def holiday_germany(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.GERMANY, dt)
+
+    def holiday_italy(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.ITALY, dt)
+
+    def holiday_japan(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.JAPAN, dt)
+
+    def holiday_new_zealand(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.NEW_ZEALAND, dt)
+
+    def holiday_norway(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.NORWAY, dt)
+
+    def holiday_sweden(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.SWEDEN, dt)
+
+    def holiday_switzerland(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.SWITZERLAND, dt)
+
+    def holiday_target(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.TARGET, dt)
+
+    def holiday_united_kingdom(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.UNITED_KINGDOM, dt)
+
+    def holiday_united_states(self, dt: Date) -> bool:
+        return self._rule_holiday(CalendarTypes.UNITED_STATES, dt)
 
     # ------------------------------------------------------------------
 

@@ -22,3 +22,4 @@ class CurrencyTypes(Enum):
     PLN = 13
     ZAR = 14
     NONE = 15
+    RON = 16

@@ -514,3 +514,94 @@ def datediff(d1: Date, d2: Date) -> int:
 def serials_from_dates(dates: List[Date]) -> np.ndarray:
     """Vector of integer serials for a list of Dates."""
     return np.array([dt.serial() for dt in dates], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Compat surface for the reference's remaining date module functions
+# (reference date.py:123-1110). The reference keeps a numba-built padded
+# lookup table (calculate_list / g_dt_counter_list); this build's Date is
+# already closed-form over Excel serials, so the index mapping is pure
+# arithmetic.
+
+_G_START_YEAR = 1900
+# reference-exported module globals (date.py:92-135; the camelCase name
+# is the reference's own public spelling)
+g_start_year = 1900
+g_end_year = 2100
+longMonthNames = ["JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY", "JUNE",
+                  "JULY", "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER",
+                  "DECEMBER"]
+g_dt_counter_list = None
+
+
+def calculate_list() -> None:
+    """Populate ``g_dt_counter_list``: Excel day counts (1900 Lotus leap
+    bug included) on the 31-days-per-month padded grid, -999 at invalid
+    slots (reference date.py:137-181). This build's Date works from
+    closed-form serials, so the table exists purely for API parity."""
+    global g_dt_counter_list
+    out = []
+    day_counter = 0
+    for yy in range(g_start_year, g_end_year + 1):
+        leap = True if yy == 1900 else is_leap_year(yy)
+        days_in = month_days_leap_year if leap else month_days_not_leap_year
+        for mm in range(1, 13):
+            max_days = days_in[mm - 1]
+            for _ in range(max_days):
+                day_counter += 1
+                out.append(day_counter)
+            out.extend([-999] * (31 - max_days))
+    g_dt_counter_list = out
+
+
+def test_type() -> None:
+    """Print the active global date format (reference date.py:1098-1100)."""
+    print("TEST TYPE", g_date_type_format)
+
+
+def parse_dt(date_str: str, date_format: str):
+    """Parse a date string into (day, month, year) (reference
+    date.py:123-125)."""
+    import datetime as _datetime
+    obj = _datetime.datetime.strptime(date_str, date_format)
+    return obj.day, obj.month, obj.year
+
+
+def from_datetime(dt) -> Date:
+    """Date from a datetime/date-like object with day/month/year
+    attributes (reference date.py:1051-1056)."""
+    return Date(dt.day, dt.month, dt.year)
+
+
+def weekday(day_count: int) -> int:
+    """Excel serial day count -> weekday index (reference date.py:213-216
+    convention: (serial + 5) % 7)."""
+    return (int(day_count) + 5) % 7
+
+
+def date_index(d: int, m: int, y: int) -> int:
+    """Index of a date in the reference's 31-days-per-month padded grid
+    (reference date.py:192-196)."""
+    return (y - _G_START_YEAR) * 12 * 31 + (m - 1) * 31 + (d - 1)
+
+
+def date_from_index(idx: int):
+    """Inverse of date_index (reference date.py:201-208)."""
+    idx = int(idx)
+    y = _G_START_YEAR + idx // (12 * 31)
+    rem = idx - (y - _G_START_YEAR) * 12 * 31
+    m = 1 + rem // 31
+    d = 1 + rem - (m - 1) * 31
+    return (d, m, y)
+
+
+def daily_working_day_schedule(start_dt: Date, end_dt: Date) -> List[Date]:
+    """Weekday dates from start_dt stepping one weekday at a time until
+    end_dt is reached (reference date.py:1024-1037: start date included
+    as given, even if itself a weekend)."""
+    out = [start_dt]
+    dt = start_dt
+    while dt < end_dt:
+        dt = dt.add_weekdays(1)
+        out.append(dt)
+    return out

@@ -182,3 +182,134 @@ def _func_name() -> str:
     """Name of the calling function (used for type-check plumbing)."""
     import inspect
     return inspect.stack()[1][3]
+
+
+# ---------------------------------------------------------------------------
+# Compat surface for the reference's remaining module-level helpers
+# (reference helpers.py:116-640). Host-side conveniences: vectorised
+# numpy replaces the reference's numba scalar loops.
+
+def beta_vector_to_corr_matrix(betas) -> np.ndarray:
+    """One-factor weights -> correlation matrix, unit diagonal
+    (reference helpers.py:116-131)."""
+    b = np.asarray(betas, dtype=np.float64)
+    corr = np.outer(b, b)
+    np.fill_diagonal(corr, 1.0)
+    return corr
+
+
+def pv01_times(t: float, f: float) -> List[float]:
+    """Remaining coupon times of a bond with t years to maturity and
+    coupon frequency f, in reverse time order (reference
+    helpers.py:134-150)."""
+    dt = 1.0 / f
+    out = []
+    while t >= 0.0:
+        out.append(t)
+        t -= dt
+    return out
+
+
+def check_dt(d) -> None:
+    """Raise unless d is a Date (reference helpers.py:268-272)."""
+    if not isinstance(d, Date):
+        raise LibError("Should be a date dummy!")
+
+
+def dump(obj) -> None:
+    """Print all private then public non-callable attributes of an object
+    (reference helpers.py:278-305)."""
+    attrs = [a for a in dir(obj)
+             if not a.startswith("__") and not callable(getattr(obj, a))]
+    print("PRIVATE ATTRIBUTES")
+    for a in attrs:
+        if a.startswith("_"):
+            print(a, getattr(obj, a))
+    print("PUBLIC ATTRIBUTES")
+    for a in attrs:
+        if not a.startswith("_"):
+            print(a, getattr(obj, a))
+
+
+def print_tree(array: np.ndarray, depth: int = None) -> None:
+    """Print a binomial/trinomial lattice for debugging (reference
+    helpers.py:309-330): columns are time steps, highest node first,
+    zeros blanked."""
+    array = np.asarray(array)
+    n1, n2 = array.shape
+    if depth is not None:
+        n1 = depth
+    for j in range(n2):
+        row = array[:n1, n2 - j - 1]
+        print("".join(f"{x:10.5f}" if x != 0.0 else " " * 10 for x in row))
+
+
+def listdiff(a, b) -> List[float]:
+    """Elementwise difference of two equal-length vectors (reference
+    helpers.py:368-379)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        raise LibError("Cannot diff lists with different sizes")
+    return list(a - b)
+
+
+def dotproduct(x, y) -> float:
+    """Alias of dot_product (reference helpers.py:386-394)."""
+    return dot_product(x, y)
+
+
+def frange(start, stop, step) -> list:
+    """Inclusive-of-stop arithmetic range (reference helpers.py:401-410)."""
+    from .math import frange as _frange
+    return _frange(start, stop, step)
+
+
+def normalise_weights(wt_vector) -> np.ndarray:
+    """Normalise weights to sum to 1 (reference helpers.py:417-426)."""
+    w = np.asarray(wt_vector, dtype=np.float64)
+    return w / np.sum(w)
+
+
+def to_usable_type(t):
+    """Resolve a typing annotation to types usable with isinstance
+    (reference helpers.py:508-527)."""
+    from typing import Union as _Union, get_args, get_origin
+    origin = get_origin(t)
+    if origin is list:
+        return (list, np.ndarray)
+    if origin is dict:
+        return dict
+    if origin is _Union:
+        return tuple(to_usable_type(tp) for tp in get_args(t))
+    if t is float:
+        return (int, float, np.float64)
+    if isinstance(t, tuple):
+        return tuple(to_usable_type(tp) for tp in t)
+    return t
+
+
+def accrued_tree(grid_times, grid_flows, face: float) -> np.ndarray:
+    """ACT/ACT-style accrued interest at every lattice grid time, linear
+    between consecutive coupon times (reference helpers.py:573-613):
+    for t in (c_{i-1}, c_i], accrued = face * (t - c_{i-1}) * flow_i /
+    (c_i - c_{i-1}); zero at or before the first coupon and after the
+    last."""
+    from .global_vars import gSmall
+    grid_times = np.asarray(grid_times, dtype=np.float64)
+    grid_flows = np.asarray(grid_flows, dtype=np.float64)
+    if grid_flows.shape != grid_times.shape:
+        raise LibError("Grid flows not same size as grid times.")
+    mask = grid_flows[1:] > gSmall
+    cpn_times = grid_times[1:][mask]
+    cpn_flows = grid_flows[1:][mask]
+    accrued = np.zeros_like(grid_times)
+    if cpn_times.size < 2:
+        return accrued
+    idx = np.searchsorted(cpn_times, grid_times, side="left")
+    in_range = (idx >= 1) & (idx < cpn_times.size)
+    i = np.clip(idx, 1, cpn_times.size - 1)
+    den = cpn_times[i] - cpn_times[i - 1]
+    num = grid_times - cpn_times[i - 1]
+    vals = face * num * cpn_flows[i] / np.where(den == 0.0, 1.0, den)
+    return np.where(in_range & (num > 0), vals, accrued)

@@ -12,12 +12,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .error import LibError
 from .global_vars import gSmall
 
 PI = 3.14159265358979323846
 INVROOT2PI = 0.3989422804014327
+# reference math.py:26-57 module constants (names kept for parity)
+inv_root_two_pi = INVROOT2PI
+ONE_MILLION = 1_000_000
+TEN_MILLION = 10_000_000
+ONE_BILLION = 1_000_000_000
 
 
 def normpdf(x):
@@ -197,3 +203,138 @@ def maximum(a, b):
 
 def minimum(a, b):
     return jnp.minimum(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Vector utility compat surface (reference math.py:105-800). The reference
+# implements these as numba scalar loops; here they are numpy one-liners —
+# they are host-side conveniences, not TPU compute paths.
+
+def scale(x, factor: float):
+    """Scale every element of an array (reference math.py:105-111)."""
+    return np.asarray(x, dtype=np.float64) * factor
+
+
+def maxaxis(s):
+    """Row-wise max of a 2-D array (reference math.py:163-180)."""
+    return np.max(np.asarray(s), axis=1)
+
+
+def minaxis(s):
+    """Row-wise min of a 2-D array (reference math.py:186-203)."""
+    return np.min(np.asarray(s), axis=1)
+
+
+def covar(a, b):
+    """2x2 population covariance matrix of two series
+    (reference math.py:208-243)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    caa = np.mean(a * a) - np.mean(a) ** 2
+    cbb = np.mean(b * b) - np.mean(b) ** 2
+    cab = np.mean(a * b) - np.mean(a) * np.mean(b)
+    return [[caa, cab], [cab, cbb]]
+
+
+def pair_gcd(v1: float, v2: float) -> float:
+    """Greatest common divisor of two integers by Euclid's algorithm
+    (reference math.py:249-266; the float-division recurrence there
+    cancels exactly — this uses floor division, i.e. the algorithm the
+    reference describes)."""
+    if v1 == 0 or v2 == 0:
+        return 0
+    v1, v2 = int(v1), int(v2)
+    while v2 != 0:
+        v1, v2 = v2, v1 % v2
+    return abs(v1)
+
+
+def nprime(x):
+    """Standard normal PDF (reference math.py:271-277)."""
+    return normpdf(x)
+
+
+def heaviside(x):
+    """Heaviside step, 1 for x >= 0 (reference math.py:282-287)."""
+    return np.where(np.asarray(x) >= 0.0, 1.0, 0.0)
+
+
+def frange(start, stop, step):
+    """Inclusive-of-stop arithmetic range (reference math.py:292-300)."""
+    return list(range(start, stop + 1, step)) if isinstance(start, int) \
+        and isinstance(stop, int) and isinstance(step, int) \
+        else list(np.arange(start, stop + step * 0.5, step))
+
+
+def n_vect(x):
+    """Vectorised normal CDF (reference math.py:346-347)."""
+    return N(jnp.asarray(x))
+
+
+def n_prime_vect(x):
+    """Vectorised normal PDF (reference math.py:353-354)."""
+    return normpdf(jnp.asarray(x))
+
+
+def normcdf_integrate(x: float) -> float:
+    """Normal CDF by trapezoidal integration from -6 (reference
+    math.py:360-386; a checking function, vectorised here)."""
+    num_steps = 10000
+    grid = np.linspace(-6.0, float(x), num_steps + 1)
+    fx = np.exp(-grid * grid / 2.0)
+    return float(np.trapezoid(fx, grid) / np.sqrt(2.0 * np.pi))
+
+
+def normcdf_slow(z: float) -> float:
+    """Normal CDF accurate to ~1e-15 (reference math.py:389-430 uses the
+    Schonfelder series; erfc delivers the same accuracy)."""
+    from math import erfc, sqrt
+    return 0.5 * erfc(-float(z) / sqrt(2.0))
+
+
+def corr_matrix_generator(rho: float, n: int):
+    """Flat-correlation full-rank n x n matrix (reference math.py:683-694)."""
+    return rho * np.ones((n, n)) + (1.0 - rho) * np.eye(n)
+
+
+def band_matrix_multiplication(A, m1: int, m2: int, b):
+    """Multiply a band matrix in compact storage by a vector (reference
+    math.py:713-731): row i of A holds bands A[i, j-i+m1] for
+    j in [i-m1, i+m2]."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    n = A.shape[0]
+    x = np.zeros(n)
+    for k in range(m1 + m2 + 1):       # one vector op per band, not per row
+        off = k - m1                   # column offset j - i
+        i = np.arange(max(0, -off), min(n, n - off))
+        x[i] += A[i, k] * b[i + off]
+    return x
+
+
+def solve_tridiagonal_matrix(A, r):
+    """Solve A u = r for tridiagonal A in (n, 3) compact rows (a, b, c)
+    with a[0]/c[-1] unused (reference math.py:734-773). Routes to the
+    PCR solver above — differentiable and TPU-f64-safe."""
+    A = np.asarray(A, dtype=np.float64)
+    if A.ndim != 2 or A.shape[1] != 3:
+        raise ValueError(f"A must be (n, 3) compact tridiagonal, got "
+                         f"{A.shape}")
+    if A[0, 1] == 0.0:
+        raise ValueError("First diagonal entry is zero, rewrite as a set "
+                         "of N-1 equations")
+    return np.asarray(solve_tridiagonal(A[:, 0], A[:, 1], A[:, 2],
+                                        np.asarray(r, dtype=np.float64)))
+
+
+def transpose_tridiagonal_matrix(A):
+    """Compact rows of A.T for tridiagonal A in (n, 3) storage (reference
+    math.py:776-779 swaps the a/c columns in place; the true transpose
+    also shifts them by one row — (A.T)[i, i-1] = A[i-1, i] = c[i-1] —
+    which this does, so solve(transpose(A), r) solves A.T u = r)."""
+    A = np.asarray(A, dtype=np.float64)
+    out = np.zeros_like(A)
+    out[:, 1] = A[:, 1]
+    out[1:, 0] = A[:-1, 2]
+    out[:-1, 2] = A[1:, 0]
+    return out
