@@ -129,8 +129,33 @@ def _float_pv_raw(rates, alpha, swap_idx, prev_idx, node_t, pay_t, start_t,
     return sign * (coupon_pv + prin_pv)
 
 
+def _float_pv_disc_curve_raw(rates, alpha, swap_idx, prev_idx, node_t,
+                             disc_times, disc_dfs, pay_t, start_t, end_t,
+                             alphas, notionals, spread, fix0, mask,
+                             principal, sign, disc_interp_type,
+                             idx_interp_type, override):
+    """Float leg discounted on a PREBUILT curve (times/dfs constants wrt
+    the quote vector) with forwards projected off the bootstrapped index
+    curve — the reference's XccyCurve-as-discount branch
+    (engine.py:2839-2864: jac=None on the discount side, so greeks flow
+    only through the index curve)."""
+    times, dfs = _anchored_curve(rates, alpha, swap_idx, prev_idx, node_t)
+    df_s = simple_df(jnp.maximum(start_t, 1e-8), times, dfs,
+                     idx_interp_type)
+    df_e = simple_df(end_t, times, dfs, idx_interp_type)
+    fwd = jnp.where(alphas > 0.0, (df_s / df_e - 1.0) / alphas, 0.0)
+    if override:
+        fwd = fwd.at[0].set(fix0)
+    cf = (fwd + spread) * alphas * notionals
+    df_p = simple_df(pay_t, disc_times, disc_dfs, disc_interp_type)
+    coupon_pv = jnp.sum(jnp.where(mask, cf * df_p, 0.0))
+    prin_pv = jnp.where(mask[-1], principal * df_p[-1], 0.0)
+    return sign * (coupon_pv + prin_pv)
+
+
 _STATIC_F = ("interp_type",)
 _STATIC_FL = ("interp_type", "idx_interp_type", "override")
+_STATIC_FX = ("disc_interp_type", "idx_interp_type", "override")
 
 _fixed_value = jax.jit(_fixed_pv_raw, static_argnames=_STATIC_F)
 _fixed_delta = jax.jit(jax.jacrev(_fixed_pv_raw), static_argnames=_STATIC_F)
@@ -140,6 +165,12 @@ _float_value = jax.jit(_float_pv_raw, static_argnames=_STATIC_FL)
 _float_delta = jax.jit(jax.jacrev(_float_pv_raw), static_argnames=_STATIC_FL)
 _float_gamma = jax.jit(jax.jacfwd(jax.jacrev(_float_pv_raw)),
                        static_argnames=_STATIC_FL)
+_float_xccy_value = jax.jit(_float_pv_disc_curve_raw,
+                            static_argnames=_STATIC_FX)
+_float_xccy_delta = jax.jit(jax.jacrev(_float_pv_disc_curve_raw),
+                            static_argnames=_STATIC_FX)
+_float_xccy_gamma = jax.jit(jax.jacfwd(jax.jacrev(_float_pv_disc_curve_raw)),
+                            static_argnames=_STATIC_FX)
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +246,34 @@ class LegacyLegAnalytics:
                              else InterpTypes(index_curve_type)),
             override=first_fixing_rate is not None)
 
+    @staticmethod
+    def _float_route(swap_times, year_fracs, leg, value_dt,
+                     discount_curve_type, index_curve_type,
+                     first_fixing_rate):
+        """(value, delta, gamma kernels, packed args) for the float leg.
+        ``discount_curve_type`` is an InterpTypes — or a prebuilt
+        XccyCurve, in which case discounting rides the curve's static
+        (times, dfs) grid and only the index curve is bootstrapped from
+        the quote vector (reference engine.py:2839-2864)."""
+        from ...trades.rates.xccy_curve import XccyCurve
+        if not isinstance(discount_curve_type, XccyCurve):
+            args = LegacyLegAnalytics._float_args(
+                swap_times, year_fracs, leg, value_dt,
+                discount_curve_type, index_curve_type, first_fixing_rate)
+            return _float_value, _float_delta, _float_gamma, args
+        curve = discount_curve_type
+        it = InterpTypes(curve._interp_type)
+        base = LegacyLegAnalytics._float_args(
+            swap_times, year_fracs, leg, value_dt, it,
+            index_curve_type if index_curve_type is not None else it,
+            first_fixing_rate)
+        args = dict(base,
+                    disc_times=jnp.asarray(curve._times),
+                    disc_dfs=jnp.asarray(curve._dfs),
+                    disc_interp_type=it)
+        del args["interp_type"]
+        return _float_xccy_value, _float_xccy_delta, _float_xccy_gamma, args
+
     def _measures(self, value_k, delta_k, gamma_k, args, swap_rates,
                   swap_times, leg, requests) -> Dict:
         rates = jnp.asarray(swap_rates, dtype=jnp.float64)
@@ -242,13 +301,13 @@ class LegacyLegAnalytics:
                               args, swap_rates, swap_times, leg, requests)
 
     def _float_leg_analytics(self, swap_rates, swap_times, year_fracs,
-                             leg, value_dt, interp_type,
+                             leg, value_dt, discount_curve_type,
                              index_curve_type=None, first_fixing_rate=None,
                              requests: Sequence[str] = ("value",)) -> Dict:
-        args = self._float_args(swap_times, year_fracs, leg, value_dt,
-                                interp_type, index_curve_type,
-                                first_fixing_rate)
-        return self._measures(_float_value, _float_delta, _float_gamma,
+        value_k, delta_k, gamma_k, args = self._float_route(
+            swap_times, year_fracs, leg, value_dt, discount_curve_type,
+            index_curve_type, first_fixing_rate)
+        return self._measures(value_k, delta_k, gamma_k,
                               args, swap_rates, swap_times, leg, requests)
 
     # -- public wrappers (reference names/returns) ---------------------------
@@ -282,12 +341,10 @@ class LegacyLegAnalytics:
     def value_float_leg(self, swap_rates, swap_times, year_fracs,
                         floating_leg_details, value_dt, discount_curve_type,
                         index_curve_type=None, first_fixing_rate=None):
-        args = self._float_args(swap_times, year_fracs,
-                                floating_leg_details, value_dt,
-                                discount_curve_type, index_curve_type,
-                                first_fixing_rate)
-        return _float_value(jnp.asarray(swap_rates, dtype=jnp.float64),
-                            **args)
+        value_k, _, _, args = self._float_route(
+            swap_times, year_fracs, floating_leg_details, value_dt,
+            discount_curve_type, index_curve_type, first_fixing_rate)
+        return value_k(jnp.asarray(swap_rates, dtype=jnp.float64), **args)
 
     def valuation_float_leg(self, swap_rates, swap_times, year_fracs,
                             floating_leg_details, value_dt,

@@ -251,3 +251,72 @@ class TestFloatLeg:
         assert gamma.risk_ladder.shape == (len(RATES), len(RATES))
         assert np.allclose(gamma.risk_ladder, gamma.risk_ladder.T,
                            atol=1e-12)
+
+
+class TestFloatLegXccyDiscount:
+    """discount_curve_type may be a prebuilt XccyCurve: discounting rides
+    the curve's static grid, greeks flow only through the bootstrapped
+    index curve (reference engine.py:2825-2864)."""
+
+    @pytest.fixture(scope="class")
+    def xccy(self):
+        from adrates_tpu.models import Model
+        from adrates_tpu.utils import InterpTypes as IT
+        m = Model(VALUE_DT)
+        m.build_curve("USD_OIS_SOFR",
+                      px_list=[5.33, 5.05, 4.60, 4.00, 3.88],
+                      tenor_list=["1M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_360,
+                      float_dc_type=DayCountTypes.ACT_360,
+                      interp_type=IT.FLAT_FWD_RATES)
+        m.build_curve("GBP_OIS_SONIA",
+                      px_list=[5.19, 4.71, 4.35, 3.93, 3.87],
+                      tenor_list=["1M", "1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_365F,
+                      float_dc_type=DayCountTypes.ACT_365F,
+                      interp_type=IT.FLAT_FWD_RATES)
+        m.build_xccy_curve(name="GBP_USD_BASIS",
+                           domestic_curve_name="USD_OIS_SOFR",
+                           foreign_curve_name="GBP_OIS_SONIA",
+                           basis_spreads=[-2.0, -5.0, -8.0],
+                           tenor_list=["1Y", "2Y", "5Y"],
+                           spot_fx=1.27)
+        return m.curves["GBP_USD_BASIS"]
+
+    def test_value_delta_gamma(self, engine, xccy):
+        _, flt = _legs(0.0, 3)
+        args = (RATES, TIMES, FRACS, flt, VALUE_DT, xccy)
+        pv = float(engine.value_float_leg(*args))
+        # discounting on the XCCY grid (lower dfs than the domestic
+        # bootstrap) still yields a sane payer-leg PV
+        assert np.isfinite(pv) and pv < 0.0
+        pv_nat = float(engine.value_float_leg(RATES, TIMES, FRACS, flt,
+                                              VALUE_DT, INTERP))
+        assert pv != pytest.approx(pv_nat, rel=1e-6)
+
+        delta = engine.delta_float_leg(*args)
+        eps = 1e-7
+        for i in range(len(RATES)):
+            up = list(RATES); up[i] += eps
+            dn = list(RATES); dn[i] -= eps
+            fd = (float(engine.value_float_leg(up, TIMES, FRACS, flt,
+                                               VALUE_DT, xccy))
+                  - float(engine.value_float_leg(dn, TIMES, FRACS, flt,
+                                                 VALUE_DT, xccy))) \
+                / (2 * eps)
+            assert delta.risk_ladder[i] == pytest.approx(fd * 1e-4,
+                                                         abs=2e-4)
+
+        gamma = engine.gamma_float_leg(*args)
+        assert gamma.risk_ladder.shape == (len(RATES), len(RATES))
+        assert np.allclose(gamma.risk_ladder, gamma.risk_ladder.T,
+                           atol=1e-12)
+
+    def test_valuation_wrapper(self, engine, xccy):
+        _, flt = _legs(0.0, 2)
+        val = engine.valuation_float_leg(RATES, TIMES, FRACS, flt,
+                                         VALUE_DT, xccy)
+        assert isinstance(val, Valuation)
+        assert val.amount == pytest.approx(
+            float(engine.value_float_leg(RATES, TIMES, FRACS, flt,
+                                         VALUE_DT, xccy)), rel=1e-12)
