@@ -17,6 +17,8 @@ from adrates_tpu.models import Model
 from adrates_tpu.parallel.multibook import CurveBasket
 from adrates_tpu.utils import (Date, DayCountTypes, InterpTypes)
 
+pytestmark = pytest.mark.slow  # file-level wall clock > 60 s (VERDICT r3 weak #5)
+
 VALUE_DT = Date(1, 1, 2024)
 
 

@@ -15,6 +15,8 @@ from adrates_tpu.models import Model
 from adrates_tpu.trades.rates import OIS, OISCurve
 
 
+pytestmark = pytest.mark.slow  # file-level wall clock > 60 s (VERDICT r3 weak #5)
+
 def make_swaps(value_dt, tenors, rates, freq=FrequencyTypes.ANNUAL):
     return [OIS(value_dt, ten, SwapTypes.PAY, px / 100, freq,
                 DayCountTypes.ACT_365F, CurveTypes.GBP_OIS_SONIA,

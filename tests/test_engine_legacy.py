@@ -106,6 +106,31 @@ class TestBuildCurveAd:
             assert abs(rate * pv01[m] + want_dfs[m] - 1.0) < 1e-10
 
 
+    def test_tiny_first_period_annuity(self, engine):
+        """Documented divergence from the reference (_legacy_plan
+        docstring / ADVICE r3): a first accrual fraction that rounds to
+        0.00 at 2dp keeps its REAL annuity in the chain here, where the
+        reference resolves prev_key 0.0 to a seeded t=0 point with
+        pv01=0 and silently drops the first period. Our curve truly
+        reprices the input swap; the reference's simulation misprices
+        it by ~r*alpha_0."""
+        rate, fracs = 0.04, [0.004, 1.0]   # 0.004 -> key 0.00
+        times, dfs = engine.build_curve_ad([rate], [sum(fracs)], [fracs])
+        t = np.asarray(times)[1:]
+        d = np.asarray(dfs)[1:]
+        np.testing.assert_allclose(t, np.cumsum(fracs), atol=1e-12)
+        # full-chain par repricing: r * sum(alpha_j * df_j) + df_T == 1
+        pv = rate * np.sum(np.asarray(fracs) * d) + d[-1]
+        assert abs(pv - 1.0) < 1e-12
+        # the reference's drop-first-annuity recursion yields a
+        # different df at the maturity node (divergence ~r*alpha_0*df_0)
+        df_ref = (1.0 - rate * 0.0) / (1.0 + rate * fracs[1])
+        assert abs(d[-1] - df_ref) > 1e-5
+        pv_ref = rate * np.sum(np.asarray(fracs)
+                               * np.array([d[0], df_ref])) + df_ref
+        assert abs(pv_ref - 1.0) > 1e-4   # the reference misprices
+
+
 class TestFixedLeg:
     def test_linearity_sign_and_zero_coupon(self, engine):
         """With principal=0 the fixed-leg PV is linear in the coupon,

@@ -15,6 +15,8 @@ from adrates_tpu.marketdata import (FX_MARKET_DATA, MARKET_DATA,
 from adrates_tpu.models import Model
 from adrates_tpu.trades.rates import OIS
 
+pytestmark = pytest.mark.slow  # file-level wall clock > 60 s (VERDICT r3 weak #5)
+
 VALUE_DT = Date(1, 1, 2024)
 
 

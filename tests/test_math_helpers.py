@@ -347,8 +347,14 @@ class TestModuleConstantParity:
             easter_monday_day_of_year(2024)
         # 1 Apr 2024 is Easter Monday: day-of-year 92 (leap year)
         assert easterMondayDay[2024 - 1901] == 92
-        assert len(list(easterMondayDay)) == 300
+        # 299 entries = 1901..2199 inclusive, matching the reference
+        # list's length exactly (ADVICE r3)
+        assert len(easterMondayDay) == 299
+        assert len(list(easterMondayDay)) == 299
         assert easterMondayDay[:3] == [98, 90, 103]  # 1901-1903
+        assert easterMondayDay[-1] == easterMondayDay[298]  # 2199
+        with pytest.raises(IndexError):
+            easterMondayDay[299]
 
     def test_calculate_list_excel_serials(self):
         import adrates_tpu.utils.date as dmod

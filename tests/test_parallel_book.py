@@ -20,6 +20,8 @@ from adrates_tpu.parallel import (aggregate_book, compile_book,
                                   shard_book, tile_book)
 from adrates_tpu.trades.rates import OIS
 
+pytestmark = pytest.mark.slow  # file-level wall clock > 60 s (VERDICT r3 weak #5)
+
 VALUE_DT = Date(1, 1, 2024)
 TENORS = ["1M", "6M", "1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"]
 RATES = [5.19, 5.04, 4.71, 4.35, 4.13, 3.93, 3.87, 3.87, 3.88, 3.71]
