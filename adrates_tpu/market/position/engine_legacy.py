@@ -46,7 +46,20 @@ def _legacy_plan(swap_times: tuple, year_fracs: tuple):
     recursion df_k = (1 - r·A_prev) / (1 + r·α_k) can run as one scan.
     Duplicate times are kept — each swap's chain carries its own rate,
     as the reference documents ("each intermediate point inherits its
-    parent swap's rate")."""
+    parent swap's rate").
+
+    Deliberate divergence from the reference (documented, regression
+    test ``test_engine_legacy.py::test_tiny_first_period_annuity``):
+    when a swap's FIRST accrual fraction rounds to 0.00 at 2dp (first
+    coupon <= ~2 days out), its second coupon's prev_key 0.0 resolves
+    here to the tiny first node — carrying that node's real (tiny but
+    nonzero) annuity — whereas the reference resolves it to a seeded
+    t=0 point with pv01 = 0, silently dropping the first period's
+    annuity from the chain. Keeping the true annuity is mathematically
+    more correct (the bootstrapped curve still reprices the input swap;
+    the reference's curve is off by ~2e-4 in DF at the next coupon
+    node), so we keep it and document the ~2e-4 divergence instead of
+    reproducing the drop."""
     nodes = []  # (t_exact, key, alpha, prev_key, swap_idx)
     for i, fracs in enumerate(year_fracs):
         cum = 0.0
@@ -137,8 +150,13 @@ def _float_pv_disc_curve_raw(rates, alpha, swap_idx, prev_idx, node_t,
     """Float leg discounted on a PREBUILT curve (times/dfs constants wrt
     the quote vector) with forwards projected off the bootstrapped index
     curve — the reference's XccyCurve-as-discount branch
-    (engine.py:2839-2864: jac=None on the discount side, so greeks flow
-    only through the index curve)."""
+    (engine.py:2839-2864). NOTE the reference never produced greeks in
+    this branch: it sets jac=None on the discount side and then raises
+    (``jnp.dot(grad_dfs, None)``) on any DELTA/GAMMA request. The
+    index-curve-only greeks this kernel yields (discount grid held
+    fixed, all sensitivity through the projection curve) are a
+    deliberate, FD-validated EXTENSION over the reference
+    (tests/test_engine_legacy.py), not a parity behavior."""
     times, dfs = _anchored_curve(rates, alpha, swap_idx, prev_idx, node_t)
     df_s = simple_df(jnp.maximum(start_t, 1e-8), times, dfs,
                      idx_interp_type)

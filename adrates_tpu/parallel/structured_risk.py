@@ -512,7 +512,7 @@ def _so_tensor(f, x0, seeds):
     return jax.vmap(one)(seeds)
 
 
-def make_pertrade_curvehess(basket):
+def make_pertrade_curvehess(basket, restrict=None):
     """Build contract(qvec, P, G) -> [B, N, N] computing
     sum_k G[b, k] * d2 dfs_flat_k / dq dq for every trade b.
 
@@ -526,7 +526,17 @@ def make_pertrade_curvehess(basket):
     directions; the per-stage tensors need ~3.5k TOTAL, each through
     only its own stage). Chain-rule terms across stages (XCCY -> parent
     OIS) flow exactly as in scenario term2, with the per-trade cotangent
-    carried through the legs/boot jacobians by matmuls."""
+    carried through the legs/boot jacobians by matmuls.
+
+    ``restrict`` (pertrade_blocks.py block mode): dict(cids=[...],
+    width=k) names a PARENT-CLOSED set of curves. contract then takes G
+    as [B, T*U] (only the touched curves' DF rows, in sorted-cid order)
+    and returns [B, k, k] — the gamma restricted to the block of the
+    touched curves' quote slots (exact, not an approximation: every
+    trade whose DF support lies inside the touched rows has zero gamma
+    outside the block, because quotes outside it cannot move touched
+    curves — the set is closed over XCCY parents). Stages with no
+    touched member and no touched-stage parent are skipped entirely."""
     meta = _build_meta(basket)
     stages = meta["stages"]
     specs = meta["specs"]
@@ -535,22 +545,85 @@ def make_pertrade_curvehess(basket):
     pos_of = meta["pos_of"]
     its_of = meta["its_of"]
     xmeta = meta["xmeta"]
-    _segments = meta["segments"]
+    _segments_global = meta["segments"]
     _place_hess = meta["place_hess"]
     ois_first = meta["ois_first"]
     xccy_last = meta["xccy_last"]
+
+    if restrict is None:
+        touched = set(range(C))
+        width = N
+        row_pos = {cid: cid for cid in range(C)}
+        _segments = _segments_global
+    else:
+        touched = set(restrict["cids"])
+        width = int(restrict["width"])
+        cids_sorted = sorted(touched)
+        row_pos = {cid: i for i, cid in enumerate(cids_sorted)}
+        # global quote offset -> block quote offset
+        offmap = {}
+        blk_off = 0
+        for cid in cids_sorted:
+            offmap[specs[cid].offset] = blk_off
+            blk_off += specs[cid].n_quotes
+        assert blk_off == width
+
+        def _segments(si, mi):
+            return [(offmap[off], n, lo, nd)
+                    for off, n, lo, nd in _segments_global(si, mi)]
+
+        # stages needed: any touched member, or parent of a touched
+        # XCCY member (closure guarantees those parents are touched too,
+        # but their whole STAGE must run so stacked parent grids exist)
+        needed = set()
+        for si, st in enumerate(stages):
+            if any(cid in touched for cid in st.ids):
+                needed.add(si)
+        for si in xccy_last:
+            st = stages[si]
+            # parents must run even for recal=False stages: the member
+            # loop stacks every member's parent PRIMAL grids
+            if si in needed:
+                for mi in range(len(st.ids)):
+                    needed.add(pos_of[st.dom_ids[mi]][0])
+                    needed.add(pos_of[st.for_ids[mi]][0])
+        ois_first = [si for si in ois_first if si in needed]
+        xccy_last = [si for si in xccy_last if si in needed]
 
     def contract(qvec, P, G):
         B = P["bat"]
         ut = P["unique_times"]
         dt = qvec.dtype
         Bn = G.shape[0]
-        out = jnp.zeros((Bn, N, N), dt)
+        out = jnp.zeros((Bn, width, width), dt)
+
+        def g_rows(cid):
+            """This trade-batch's DF-space gradient rows for curve cid,
+            or None when the curve is outside the restricted row set."""
+            if cid not in touched:
+                return None
+            r = row_pos[cid]
+            return G[:, r * U:(r + 1) * U]
 
         ds_of: List = [None] * C
         dds_st: Dict[int, jnp.ndarray] = {}
         fwd_of: Dict[int, object] = {}
         so_st: Dict[int, tuple] = {}      # si -> (dsT, rowsT) tensors
+
+        # second-order tensors are only needed where a placement will
+        # read them: stages with a touched member, or stages receiving a
+        # chain cotangent (parents of touched XCCY members)
+        so_needed = set()
+        for si in ois_first:
+            if any(cid in touched for cid in stages[si].ids):
+                so_needed.add(si)
+        for si in xccy_last:
+            st = stages[si]
+            if xmeta[si]["parents"] is not None:
+                for mi, cid in enumerate(st.ids):
+                    if cid in touched:
+                        so_needed.add(pos_of[st.dom_ids[mi]][0])
+                        so_needed.add(pos_of[st.for_ids[mi]][0])
 
         # -------- OIS / inflation stages ------------------------------
         for si in ois_first:
@@ -573,15 +646,20 @@ def make_pertrade_curvehess(basket):
             dds_st[si] = dds
             for mi, cid in enumerate(st.ids):
                 ds_of[cid] = ds[mi]
-            # [Qp, Qp, G, P1] and [Qp, Qp, G, U]
-            so_st[si] = _so_tensor(fwd, q_local, seeds)
+            if si in so_needed:
+                # [Qp, Qp, G, P1] and [Qp, Qp, G, U]
+                so_st[si] = _so_tensor(fwd, q_local, seeds)
 
         # own-stage terms for OIS/inflation members
         for si in ois_first:
+            if si not in so_st:
+                continue
             st = stages[si]
             _, rowsT = so_st[si]
             for mi, cid in enumerate(st.ids):
-                Gb = G[:, cid * U:(cid + 1) * U]            # [B, U]
+                Gb = g_rows(cid)                            # [B, U]
+                if Gb is None:
+                    continue
                 Hm = jnp.einsum("bu,iju->bij", Gb,
                                 rowsT[:, :, mi, :])
                 out = _place_hess(out, Hm, _segments(si, mi))
@@ -617,7 +695,9 @@ def make_pertrade_curvehess(basket):
                     jnp.eye(S, dtype=dt)[:, None, :], (S, Gm, S))
                 rowsT = _so_tensor(fwd0, spreads, seeds)
                 for mi, cid in enumerate(st.ids):
-                    Gb = G[:, cid * U:(cid + 1) * U]
+                    Gb = g_rows(cid)
+                    if Gb is None:
+                        continue
                     Hm = jnp.einsum("bu,iju->bij", Gb,
                                     rowsT[:, :, mi, :])
                     out = _place_hess(out, Hm, _segments(si, mi))
@@ -694,7 +774,9 @@ def make_pertrade_curvehess(basket):
             for mi, cid in enumerate(st.ids):
                 p = m["parents"][mi]
                 qd_m, qf_m = p["qd"].shape[0], p["qf"].shape[0]
-                Gb = G[:, cid * U:(cid + 1) * U]            # [B, U]
+                Gb = g_rows(cid)                            # [B, U]
+                if Gb is None:
+                    continue
                 # per-trade cotangents through the bottlenecks
                 w_pv = jnp.einsum("bu,su->bs", Gb,
                                   drows2[S:2 * S, mi])      # [B, S]
@@ -735,6 +817,8 @@ def make_pertrade_curvehess(basket):
 
         # -------- parent-chain second-order terms ---------------------
         for si in ois_first:
+            if si not in so_st:
+                continue
             st = stages[si]
             dsT, _ = so_st[si]
             for mi, cid in enumerate(st.ids):

@@ -84,21 +84,28 @@ def easter_monday_day_of_year(year: int) -> int:
 
 
 class _EasterMondayTable:
-    """Parity shim for the reference's 1901-2200 Easter Monday
+    """Parity shim for the reference's 1901-2199 Easter Monday
     day-of-year lookup list (reference calendar.py:51-100, indexed
-    ``easterMondayDay[y - 1901]``); entries come from the computus
-    above instead of a hand-maintained table."""
+    ``easterMondayDay[y - 1901]``, 299 entries); entries come from the
+    computus above instead of a hand-maintained table. Length matches
+    the reference's list exactly (len/slices/iteration)."""
+
+    _LEN = 299  # reference list covers 1901..2199 inclusive
 
     def __getitem__(self, idx):
         if isinstance(idx, slice):
-            return [self[i] for i in range(*idx.indices(300))]
+            return [self[i] for i in range(*idx.indices(self._LEN))]
+        if idx < 0:
+            idx += self._LEN
+        if not 0 <= idx < self._LEN:
+            raise IndexError("easterMondayDay index out of range")
         return easter_monday_day_of_year(1901 + idx)
 
     def __len__(self):
-        return 300
+        return self._LEN
 
     def __iter__(self):
-        return (self[i] for i in range(300))
+        return (self[i] for i in range(self._LEN))
 
 
 easterMondayDay = _EasterMondayTable()
