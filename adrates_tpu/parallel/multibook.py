@@ -1662,6 +1662,51 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     return fn
 
 
+def make_multibook_speed_fn(mb: MultiBook):
+    """Jitted (qvec) -> [N, N, N] EXACT third-order book risk tensor
+    speed[i, j, k] = ∂³ total_PV / ∂q_i ∂q_j ∂q_k (ccy units per
+    unit-rate³; multiply by 1e-12 for per-bp³), matching the
+    per-position engine SPEED measure (engine.py SPEED route) summed
+    over the book.
+
+    Implementation is the plain AD tower jacfwd∘jacfwd∘jacrev over the
+    aggregate graph — NO structured shortcut, deliberately
+    (VERDICT r3 item 6 decision): the structured pass's second-order
+    machinery stop-gradients the aggregate cotangent g, so
+    differentiating ITS gamma would silently drop the ∂g/∂q third-order
+    terms, and extending the per-stage chain rule one more level means
+    hand-assembling the full Faà di Bruno composition through the XCCY
+    legs/boot bottlenecks (f'''·(g')³ + 3·f''·g'·g'' + f'·g''' per
+    stage pair, plus cross-parent terms) — a large, hard-to-validate
+    surface for a measure with no reference implementation at all (the
+    reference defines the SPEED enum but never computes it). The tower
+    is exact and compiles fine at small/medium quote dims (N ≲ ~60);
+    at flagship N (184) its N² forward tangents through the whole curve
+    graph make compile AND runtime impractical — full-book third-order
+    risk at that scale is explicitly out of scope, documented here and
+    in README. Use engine-level SPEED per position for selected trades
+    instead."""
+    basket = mb.basket
+    grids = basket.grids
+    params = jax.device_put(basket.params)
+    agg = jax.device_put(mb.aggregate)
+    clamp_agg = _agg_clamp(
+        jax.device_put(mb.clamp) if mb.clamp is not None else None,
+        jax.device_put(mb.tile) if mb.tile is not None else None)
+
+    @jax.jit
+    def _fn(qvec, P, ag, cl_ag):
+        def total(q):
+            return aggregate_total(grids(q, P), ag, cl_ag)
+
+        return jax.jacfwd(jax.jacfwd(jax.jacrev(total)))(qvec)
+
+    def fn(qvec):
+        return _fn(jnp.asarray(qvec), params, agg, clamp_agg)
+
+    return fn
+
+
 def warmup_multibook(mb: MultiBook, n_scenarios: int,
                      want_gamma: bool = True):
     """Pre-compile the book's PV-sweep and risk programs for EXACTLY the
@@ -1876,23 +1921,11 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis="book",
 # ---------------------------------------------------------------------------
 
 
-def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
-    """Jitted (qvec) -> [B_sel, N, N] EXACT per-trade gamma matrices for
-    a selected set of trades (ccy units per unit-rate²; multiply by 1e-8
-    for per-bp²), via the same chain-rule split as the book gamma
-    (VERDICT round-2 item 4):
-
-        gamma_b = Jᵀ·H_b·J + Σ_k g_bk · ∂²dfs_k/∂q∂q
-
-    H_b (the trade's own DF-space Hessian) is closed form over its trip
-    and clamp slots — batched einsums, no AD through the sweep. The
-    curve Hessian tensor H_curve[k, i, j] is ONE jacfwd∘jacfwd of the
-    curve graph SHARED by every selected trade; the per-trade
-    contraction is a dense [B, C*U] @ [C*U, N²] MXU matmul. Cost scales
-    with N²·(C·U) once plus B·C·U·N² for the contraction — select
-    trades rather than asking for all 100k (a full book's [B, N, N] is
-    terabytes; the reference assembles the same per-position shape one
-    trade at a time, engine.py:2563-2568)."""
+def _harvest_sel_tables(mb: MultiBook, trade_ids) -> Dict[str, np.ndarray]:
+    """Host-side flat lin/trip/clamp slot tables for a SELECTION of
+    (tiled) trade ids, weights at tile scale, b indices local to the
+    selection order. Shared by the single-device and mesh-sharded
+    per-trade gamma builders."""
     sel = np.asarray(trade_ids, dtype=np.int64)
     B_sel = sel.shape[0]
     CU = mb.basket.n_curves * mb.unique_times.shape[0]
@@ -1961,17 +1994,28 @@ def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
         cl_p=cl_arr[:, 3].astype(np.int32),
         cl_ia=cl_arr[:, 4], cl_w=cl_arr[:, 5], cl_sp=cl_arr[:, 6],
         cl_cap=cl_arr[:, 7], cl_lo=cl_arr[:, 8])
+    return T
 
-    basket = mb.basket
+
+def _sel_gamma_kernel(basket, B_sel: int):
+    """(qvec, P, tables) -> [B_sel, N, N] exact selected-trade gamma
+    body (traceable; jitted by the single-device builder, shard_mapped
+    by the sharded one). The chain-rule split is the book gamma's:
+
+        gamma_b = Jᵀ·H_b·J + Σ_k g_bk · ∂²dfs_k/∂q∂q
+
+    H_b (the trade's own DF-space Hessian) is closed form over its trip
+    and clamp slots — batched einsums, no AD through the sweep; the
+    curve-Hessian contraction reuses the structured per-stage
+    second-order tensors (structured_risk.make_pertrade_curvehess)."""
     grids = basket.grids
-    params = jax.device_put(basket.params)
-    tables = jax.device_put(T)
+    CU = basket.n_curves * int(
+        np.asarray(basket.params["unique_times"]).shape[0])
     curvehess = None
     if getattr(basket, "_stages", None) is not None:
         from .structured_risk import make_pertrade_curvehess
         curvehess = make_pertrade_curvehess(basket)
 
-    @jax.jit
     def _fn(qvec, P, tb):
         dfs, jvp_fn = jax.linearize(lambda q: grids(q, P), qvec)
         N = qvec.shape[0]
@@ -2049,6 +2093,32 @@ def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
             Gm = Gm + (G @ H.reshape(CU, N_ * N_)).reshape(
                 B_sel, N_, N_)
         return Gm
+
+    return _fn
+
+
+def make_per_trade_gamma_fn(mb: MultiBook, trade_ids):
+    """Jitted (qvec) -> [B_sel, N, N] EXACT per-trade gamma matrices for
+    a selected set of trades (ccy units per unit-rate²; multiply by 1e-8
+    for per-bp²), via the same chain-rule split as the book gamma
+    (VERDICT round-2 item 4):
+
+        gamma_b = Jᵀ·H_b·J + Σ_k g_bk · ∂²dfs_k/∂q∂q
+
+    H_b (the trade's own DF-space Hessian) is closed form over its trip
+    and clamp slots — batched einsums, no AD through the sweep. The
+    curve Hessian contraction is SHARED by every selected trade
+    (structured per-stage second-order tensors when the basket carries
+    the batched topology, else one jacfwd∘jacfwd of the curve graph) —
+    select trades rather than asking for all 100k (a full book's
+    [B, N, N] is terabytes; the reference assembles the same
+    per-position shape one trade at a time, engine.py:2563-2568; for
+    ALL trades use make_per_trade_gamma_blocks_fn's exact own-block
+    form instead)."""
+    sel = np.asarray(trade_ids, dtype=np.int64)
+    params = jax.device_put(mb.basket.params)
+    tables = jax.device_put(_harvest_sel_tables(mb, sel))
+    _fn = jax.jit(_sel_gamma_kernel(mb.basket, sel.shape[0]))
 
     def fn(qvec):
         return _fn(jnp.asarray(qvec), params, tables)
