@@ -15,7 +15,8 @@ from typing import List, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.interpolation import interp_df, interp_fit
+from ...ops.interpolation import (interp_df, interp_df_query,
+                                  interp_fit)
 from ...utils.date import Date
 from ...utils.day_count import DayCount, DayCountTypes
 from ...utils.error import LibError
@@ -84,9 +85,12 @@ class DiscountCurve:
     # ------------------------------------------------------------------
 
     def _df(self, t):
-        """DF at time(s) t — unified interpolation stack."""
-        out = interp_df(jnp.asarray(t, dtype=jnp.float64), self._times,
-                        self._dfs, self._interp_type, self._interp_aux)
+        """DF at time(s) t — unified interpolation stack, through the
+        shape-bucketed module-level kernel (cold start: every distinct
+        query length otherwise compiles its own tiny program)."""
+        out = interp_df_query(jnp.asarray(t, dtype=jnp.float64),
+                              self._times, self._dfs, self._interp_type,
+                              self._interp_aux)
         return out
 
     def df(self, dt: Union[Date, list],

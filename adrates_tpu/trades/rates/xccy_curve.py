@@ -33,6 +33,14 @@ from ...utils.helpers import label_to_string, times_from_dates
 
 SWAP_TOL = 1e-10
 
+# module-level jit, one compile per (plan shape, foreign scheme): the
+# constructor bootstrap otherwise runs eager op-by-op (cold start,
+# VERDICT r3 item 1). spot_fx rides as an argument, plan is a pytree.
+from ...utils.compile_cache import build_jit  # noqa: E402
+
+_bootstrap_xccy_jit = build_jit(
+    bootstrap_xccy, static_argnames=("foreign_interp_type",))
+
 
 class XccyCurve(DiscountCurve):
     """Discount curve for foreign cashflows under domestic collateral,
@@ -72,7 +80,7 @@ class XccyCurve(DiscountCurve):
             self._plan = self._prepare_plan()
             self._pv_domestic = self._domestic_leg_pvs()
 
-            times, dfs = bootstrap_xccy(
+            times, dfs = _bootstrap_xccy_jit(
                 jnp.asarray(self.basis_spreads),
                 jnp.asarray(self._pv_domestic),
                 jnp.asarray(self._foreign_curve._times),
