@@ -11,7 +11,7 @@ from .pertrade_sharded import (make_sharded_per_trade_delta_fn,
 from .multibook import (ClampSlots, CurveBasket, MultiBook,
                         MultiBookAggregate, MultiBookRows, aggregate_total,
                         compile_multibook, make_multibook_fn,
-                        make_multibook_speed_fn,
+                        make_multibook_speed_fn, make_staged_multibook_fn,
                         make_per_trade_delta_fn, make_per_trade_gamma_fn,
                         make_sharded_multibook_fn,
                         shard_multibook, tile_multibook, trade_pvs,

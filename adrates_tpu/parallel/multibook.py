@@ -1496,6 +1496,65 @@ def _trade_row_table(mb: MultiBook) -> np.ndarray:
     return idx.reshape(n_cop * B_base, K).astype(np.int32)
 
 
+def _pvs_sweep(dfs_all, cbs, cl, ag, tri):
+    """Per-trade PV sweep over all scenarios at once.
+
+    TRANSPOSED sweep: per-scenario gathers fetch one f64 scalar per
+    slot (~5.6M random scalar reads x S on the flagship — the gather
+    unit's descriptor rate bounds the sweep). Transposing the value
+    table to [M, S] makes each slot's gather fetch a CONTIGUOUS
+    S-element row (800 B at S=100): the slot count stays the same but
+    every descriptor moves 100x the payload, and the scenario loop
+    disappears from the sweep entirely. Module-level jit: every book
+    shares one dispatch cache (shapes key the compiles)."""
+    S = dfs_all.shape[0]
+    trip_all = jax.vmap(lambda d: _trip_values(d, ag))(dfs_all)
+    vT = jnp.concatenate([dfs_all, trip_all], axis=1).T   # [M, S]
+    rowpvs = []
+    for cb in cbs:
+        R, L = cb.col_idx.shape
+        # bound the [chunk*L, S] gathered temporary near 200 MB f64
+        chunk = max(1, min(R, int(2.5e7 // max(L * S, 1))))
+        pad = (-R) % chunk
+        ci, wi = cb.col_idx, cb.w
+        if pad:
+            ci = jnp.concatenate(
+                [ci, jnp.zeros((pad, L), ci.dtype)])
+            wi = jnp.concatenate(
+                [wi, jnp.zeros((pad, L), wi.dtype)])
+
+        def one_chunk(args, S=S):
+            c, w = args
+            Y = vT[c.reshape(-1)].reshape(c.shape + (S,))
+            # multiply+sum, NOT einsum: "rl,rls->rs" lowers to a
+            # batch of [1, L] @ [L, S] micro-matmuls (701 ms vs
+            # 105 ms measured for the flagship sweep at S=100)
+            return jnp.sum(w[:, :, None] * Y, axis=1)
+
+        out = lax.map(one_chunk, (ci.reshape(-1, chunk, L),
+                                  wi.reshape(-1, chunk, L)))
+        rowpvs.append(out.reshape(-1, S)[:R])
+    rowpv = jnp.concatenate(
+        rowpvs + [jnp.zeros((1, S), dfs_all.dtype)])
+    pvs_bs = jnp.sum(rowpv[tri], axis=1)                  # [B, S]
+    if cl is not None:
+        dT = dfs_all.T
+        df_s = dT[cl.s_idx]
+        df_e = dT[cl.e_idx]
+        df_p = dT[cl.p_idx]
+        has = (cl.ia > 0.0)[:, None]
+        ia = jnp.where(cl.ia > 0.0, cl.ia, 1.0)[:, None]
+        fwd = jnp.where(has, (df_s / df_e - 1.0) / ia, 0.0)
+        rate = jnp.clip(fwd + cl.spread[:, None],
+                        cl.floor[:, None], cl.cap[:, None])
+        pvs_bs = pvs_bs.at[cl.slot_trade].add(
+            cl.w[:, None] * rate * df_p)
+    return pvs_bs.T
+
+
+_pvs_program = jax.jit(_pvs_sweep)
+
+
 def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     """Jitted (qvec, shocks [S, N]) -> {pvs [S, B], delta [S, N],
     gamma [S, N, N]}: per-trade PVs from the gather sweep (streamed
@@ -1538,58 +1597,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     # gathers. Clamp slots keep the scatter — they are few.
     trade_rows_idx = jnp.asarray(_trade_row_table(mb))
 
-    # TRANSPOSED sweep: per-scenario gathers fetch one f64 scalar per
-    # slot (~5.6M random scalar reads x S on the flagship — the gather
-    # unit's descriptor rate bounds the sweep). Transposing the value
-    # table to [M, S] makes each slot's gather fetch a CONTIGUOUS
-    # S-element row (800 B at S=100): the slot count stays the same but
-    # every descriptor moves 100x the payload, and the scenario loop
-    # disappears from the sweep entirely.
-    @jax.jit
-    def _pvs(dfs_all, cbs, cl, ag, tri):
-        S = dfs_all.shape[0]
-        trip_all = jax.vmap(lambda d: _trip_values(d, ag))(dfs_all)
-        vT = jnp.concatenate([dfs_all, trip_all], axis=1).T   # [M, S]
-        rowpvs = []
-        for cb in cbs:
-            R, L = cb.col_idx.shape
-            # bound the [chunk*L, S] gathered temporary near 200 MB f64
-            chunk = max(1, min(R, int(2.5e7 // max(L * S, 1))))
-            pad = (-R) % chunk
-            ci, wi = cb.col_idx, cb.w
-            if pad:
-                ci = jnp.concatenate(
-                    [ci, jnp.zeros((pad, L), ci.dtype)])
-                wi = jnp.concatenate(
-                    [wi, jnp.zeros((pad, L), wi.dtype)])
-
-            def one_chunk(args, S=S):
-                c, w = args
-                Y = vT[c.reshape(-1)].reshape(c.shape + (S,))
-                # multiply+sum, NOT einsum: "rl,rls->rs" lowers to a
-                # batch of [1, L] @ [L, S] micro-matmuls (701 ms vs
-                # 105 ms measured for the flagship sweep at S=100)
-                return jnp.sum(w[:, :, None] * Y, axis=1)
-
-            out = lax.map(one_chunk, (ci.reshape(-1, chunk, L),
-                                      wi.reshape(-1, chunk, L)))
-            rowpvs.append(out.reshape(-1, S)[:R])
-        rowpv = jnp.concatenate(
-            rowpvs + [jnp.zeros((1, S), dfs_all.dtype)])
-        pvs_bs = jnp.sum(rowpv[tri], axis=1)                  # [B, S]
-        if cl is not None:
-            dT = dfs_all.T
-            df_s = dT[cl.s_idx]
-            df_e = dT[cl.e_idx]
-            df_p = dT[cl.p_idx]
-            has = (cl.ia > 0.0)[:, None]
-            ia = jnp.where(cl.ia > 0.0, cl.ia, 1.0)[:, None]
-            fwd = jnp.where(has, (df_s / df_e - 1.0) / ia, 0.0)
-            rate = jnp.clip(fwd + cl.spread[:, None],
-                            cl.floor[:, None], cl.cap[:, None])
-            pvs_bs = pvs_bs.at[cl.slot_trade].add(
-                cl.w[:, None] * rate * df_p)
-        return pvs_bs.T
+    _pvs = _pvs_program
 
     @jax.jit
     def _dfs_only(qvec, P, shocks):
@@ -1662,6 +1670,178 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     return fn
 
 
+def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
+                             max_chunk: Optional[int] = None):
+    """(qvec, shocks [S, N]) -> {pvs [S, B], delta [S, N],
+    gamma [S, N, N]} — the same outputs as make_multibook_fn, computed
+    through independently-compiled REGION programs instead of one
+    monolithic jit:
+
+        A  fwd+J+delta   (structured_risk fwd_delta, vmapped)
+        B  term1         (trip-table quad form over A's J)
+        C  term2         (per-stage curve hessians; reads A's carry)
+        D  gamma = t1+t2
+        P  per-trade PV sweep over A's DF grids
+
+    Why: the flagship monolith is the largest compile in the package
+    (~300 s cold on the tunneled v5e backend) and XLA compiles it
+    serially. The remote compile service parallelizes across CLIENT
+    THREADS (measured: 3 programs 71.9 s sequential -> 29.1 s threaded,
+    docs/tpu_operational_notes.md round-4 findings), so
+    ``fn.precompile(n_scenarios, parallel=True)`` lowers and compiles
+    the regions concurrently and keeps the returned EXECUTABLES —
+    ``jit(...).lower().compile()`` does NOT seed the jit dispatch cache,
+    so dispatching through the kept handles is what makes the first real
+    call pay zero compile. The staged split is also slightly faster at
+    runtime (flagship 854 ms monolith -> ~745 ms staged: smaller
+    programs optimize better and the host gaps pipeline).
+
+    Scenario batching: chunks of ``min(HBM-aware cap, S)`` are sliced
+    and zero-padded on the HOST in numpy (an eager device op on the
+    tunneled backend is its own remote compile), so a single-chunk call
+    dispatches exactly the five programs and nothing else.
+
+    Requires the basket's batched stage topology (batch_curves=True).
+    ``want_gamma=False`` runs A+P only. ``max_chunk`` overrides the
+    HBM-derived scenario chunk cap (tests exercise the multi-chunk
+    path with it)."""
+    basket = mb.basket
+    if getattr(basket, "_stages", None) is None:
+        raise LibError(
+            "make_staged_multibook_fn requires the batched stage "
+            "topology: compile the book with batch_curves=True")
+    from .structured_risk import make_structured_parts
+    parts = make_structured_parts(basket)
+    fwd_delta = parts["fwd_delta"]
+    term1 = parts["term1"]
+    term2 = parts["term2"]
+
+    params = jax.device_put(basket.params)
+    cols = jax.device_put(mb.cols)
+    clamp = jax.device_put(mb.clamp) if mb.clamp is not None else None
+    agg = jax.device_put(mb.aggregate)
+    clamp_agg = _agg_clamp(clamp, mb.tile)
+    _, clamp, cols = _device_expand(None, clamp, mb.tile, cols=cols)
+    trade_rows_idx = jnp.asarray(_trade_row_table(mb))
+
+    CU = basket.n_curves * mb.unique_times.shape[0]
+    N = basket.n_quotes
+    dt = np.asarray(basket.quotes0).dtype
+    # same HBM budget as the monolith: ~3 [chunk, N, C*U] f64 live
+    chunk_cap = max(1, min(int(5e9 // max(N * CU * 8 * 3, 1)), 128))
+    if max_chunk is not None:
+        chunk_cap = int(max_chunk)
+
+    @jax.jit
+    def _A(qvec, P, ag, cl_agg, shocks):
+        return jax.vmap(
+            lambda s: fwd_delta(qvec + s, P, ag, cl_agg))(shocks)
+
+    @jax.jit
+    def _B(J, dfs, ag, cl_agg):
+        return jax.vmap(lambda j, d: term1(j, d, ag, cl_agg))(J, dfs)
+
+    @jax.jit
+    def _C(qvec, P, g, carry, shocks):
+        return jax.vmap(
+            lambda gi, ci, s: term2(qvec + s, P, gi, ci))(
+                g, carry, shocks)
+
+    @jax.jit
+    def _D(t1, t2):
+        return t1 + t2
+
+    execs: Dict[str, object] = {}
+    state = {"chunk": None, "S": None}
+
+    def _run_chunk(qvec, sh):
+        use = execs if sh.shape[0] == state["chunk"] else {}
+        a = use["A"](qvec, params, agg, clamp_agg, sh) if "A" in use \
+            else _A(qvec, params, agg, clamp_agg, sh)
+        res = {"delta": a["delta"], "dfs": a["dfs"]}
+        if want_gamma:
+            t1 = use["B"](a["J"], a["dfs"], agg, clamp_agg) \
+                if "B" in use else _B(a["J"], a["dfs"], agg, clamp_agg)
+            t2 = use["C"](qvec, params, a["g"], a["carry"], sh) \
+                if "C" in use \
+                else _C(qvec, params, a["g"], a["carry"], sh)
+            res["gamma"] = use["D"](t1, t2) if "D" in use else _D(t1, t2)
+        return res
+
+    def fn(qvec, shocks):
+        qvec = jnp.asarray(qvec, dt)
+        shocks_np = np.asarray(shocks, dt)
+        S = shocks_np.shape[0]
+        chunk = min(chunk_cap, S)
+        outs = []
+        for lo in range(0, S, chunk):
+            sh = shocks_np[lo:lo + chunk]
+            pad = chunk - sh.shape[0]
+            if pad:
+                sh = np.concatenate([sh, np.zeros((pad, N), dt)])
+            outs.append(_run_chunk(qvec, jnp.asarray(sh)))
+        if len(outs) == 1:
+            res = outs[0]          # chunk == S: no pad, no concat
+        else:
+            res = {k: jnp.concatenate([o[k] for o in outs])[:S]
+                   for k in outs[0]}
+        dfs_all = res.pop("dfs")
+        res["pvs"] = (execs["P"](dfs_all, cols, clamp, agg,
+                                 trade_rows_idx)
+                      if "P" in execs and S == state["S"]
+                      else _pvs_program(dfs_all, cols, clamp, agg,
+                                        trade_rows_idx))
+        return res
+
+    def precompile(n_scenarios: int, parallel: bool = True):
+        """AOT-compile every region program for the exact shapes a
+        (n_scenarios, N)-shock call will dispatch, in parallel threads
+        when the backend's compile service supports it. Keeps the
+        executables; fn() dispatches through them (a later jit-path
+        call would RE-compile — lower().compile() does not seed the
+        jit dispatch cache)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunk = min(chunk_cap, int(n_scenarios))
+
+        def sds(t):
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)), t)
+
+        qv = jax.ShapeDtypeStruct((N,), dt)
+        sh = jax.ShapeDtypeStruct((chunk, N), dt)
+        Ps, ags, cls = sds(params), sds(agg), sds(clamp_agg)
+        a_sh = jax.eval_shape(_A, qv, Ps, ags, cls, sh)
+        dfs_full = jax.ShapeDtypeStruct((int(n_scenarios), CU), dt)
+        jobs = {"A": (_A, (qv, Ps, ags, cls, sh)),
+                "P": (_pvs_program, (dfs_full, sds(cols), sds(clamp),
+                                     ags, sds(trade_rows_idx)))}
+        if want_gamma:
+            t1_sh = jax.ShapeDtypeStruct((chunk, N, N), dt)
+            jobs["B"] = (_B, (a_sh["J"], a_sh["dfs"], ags, cls))
+            jobs["C"] = (_C, (qv, Ps, a_sh["g"], a_sh["carry"], sh))
+            jobs["D"] = (_D, (t1_sh, t1_sh))
+
+        def build(item):
+            f, args = item
+            return f.lower(*args).compile()
+
+        if parallel:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                futs = {k: ex.submit(build, v) for k, v in jobs.items()}
+                execs.update({k: f.result() for k, f in futs.items()})
+        else:
+            execs.update({k: build(v) for k, v in jobs.items()})
+        state["chunk"] = chunk
+        state["S"] = int(n_scenarios)
+        return fn
+
+    fn.precompile = precompile
+    fn.programs = execs
+    return fn
+
+
 def make_multibook_speed_fn(mb: MultiBook):
     """Jitted (qvec) -> [N, N, N] EXACT third-order book risk tensor
     speed[i, j, k] = ∂³ total_PV / ∂q_i ∂q_j ∂q_k (ccy units per
@@ -1708,15 +1888,25 @@ def make_multibook_speed_fn(mb: MultiBook):
 
 
 def warmup_multibook(mb: MultiBook, n_scenarios: int,
-                     want_gamma: bool = True):
+                     want_gamma: bool = True, staged: bool = False,
+                     parallel: bool = True):
     """Pre-compile the book's PV-sweep and risk programs for EXACTLY the
     (n_scenarios, n_quotes) shapes a production loop will use, and return
     the ready fn. With ``adrates_tpu.configure_cache()`` active, the
     compiles land in the persistent cache: the next process skips them
     entirely (VERDICT round-2 item 8 — the warmup story belongs to the
-    package, not the bench script)."""
-    fn = make_multibook_fn(mb, want_gamma=want_gamma)
-    shocks = jnp.zeros((n_scenarios, mb.basket.n_quotes))
+    package, not the bench script).
+
+    ``staged=True`` warms make_staged_multibook_fn instead: the region
+    programs AOT-compile concurrently (``parallel=True``) — the
+    cold-start lever on backends whose compile service parallelizes
+    across client threads (docs/tpu_operational_notes.md round-4)."""
+    if staged:
+        fn = make_staged_multibook_fn(mb, want_gamma=want_gamma)
+        fn.precompile(n_scenarios, parallel=parallel)
+    else:
+        fn = make_multibook_fn(mb, want_gamma=want_gamma)
+    shocks = np.zeros((n_scenarios, mb.basket.n_quotes))
     out = fn(jnp.asarray(mb.basket.quotes0), shocks)
     # force completion: a reduced scalar reaching the host is the only
     # reliable barrier through tunneled backends

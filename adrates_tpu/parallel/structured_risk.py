@@ -171,15 +171,35 @@ def _build_meta(basket):
                            if st.kind == "xccy"])
 
 
-def make_structured_risk(basket):
-    """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
-    basket's batched stage topology. Requires the basket to have been
-    compiled with batch_curves=True (basket._stages present)."""
+def make_structured_parts(basket):
+    """Build the structured risk pass as THREE separable functions, so a
+    caller can either compose them under one jit (make_structured_risk)
+    or compile them as independent region programs
+    (multibook.make_staged_multibook_fn — the cold-start lever: the
+    remote TPU compile service parallelizes across client threads, so
+    the region programs precompile concurrently where the monolith
+    serializes; docs/tpu_operational_notes.md, round-4 findings):
+
+    - ``fwd_delta(qvec, P, agg, clamp_agg)`` -> dict(dfs [C*U], g [C*U],
+      J [N, C*U], delta [N], carry): stage forwards, per-stage jacobian
+      rows, assembled J, aggregate gradient and the book delta.
+      ``carry`` holds exactly the cross-boundary arrays term2 needs
+      (per XCCY stage: the stacked parent grids as values, the
+      calibration-leg PVs and the composed direction tables) so term2
+      never re-differentiates the parent bootstraps.
+    - ``term1(J, dfs, agg, clamp_agg)`` -> [N, N]: the trip-table quad
+      form J' H_agg J (multibook._gamma_quad_form).
+    - ``term2(qvec, P, g, carry)`` -> [N, N]: the per-stage
+      curve-Hessian contraction sum_k g_k d2 dfs_k/dq2, XCCY stages
+      first (their cotangents fold into the parent OIS stage scalars).
+
+    gamma = term1 + term2, exactly as in the monolithic composition —
+    the split only moves the jit cut points; every placement and
+    chain-rule composition is unchanged.
+    """
     meta = _build_meta(basket)
     stages = meta["stages"]
-    specs = meta["specs"]
     C, N, U = meta["C"], meta["N"], meta["U"]
-    bat0 = meta["bat0"]
     pos_of = meta["pos_of"]
     its_of = meta["its_of"]
     xmeta = meta["xmeta"]
@@ -189,8 +209,7 @@ def make_structured_risk(basket):
     ois_first = meta["ois_first"]
     xccy_last = meta["xccy_last"]
 
-    def scenario_risk(qvec, P, agg, clamp_agg, want_gamma,
-                      terms=("t1", "t2")):
+    def fwd_delta(qvec, P, agg, clamp_agg):
         B = P["bat"]
         ut = P["unique_times"]
         dt = qvec.dtype
@@ -199,7 +218,7 @@ def make_structured_risk(basket):
         rows_of: List = [None] * C      # cid -> [U]
         dds_st: Dict[int, jnp.ndarray] = {}    # si -> [Qp, G, P1]
         drows_st: Dict[int, jnp.ndarray] = {}  # si -> [Dirs, G, U]
-        fwd_of: Dict[int, object] = {}         # si -> stage forward fn
+        carry: Dict[int, dict] = {}     # si -> term2 boundary arrays
 
         # ---- pass 1: OIS + inflation stages (primal + Qp-seed jvp) ---
         for si in ois_first:
@@ -214,7 +233,6 @@ def make_structured_risk(basket):
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
                 return ds, rows
 
-            fwd_of[si] = fwd
             (ds, rows), jvp = jax.linearize(fwd, q_local)
             seeds = jnp.broadcast_to(
                 jnp.eye(Qp, dtype=dt)[:, None, :], (Qp, G, Qp))
@@ -226,7 +244,6 @@ def make_structured_risk(basket):
                 rows_of[cid] = rows[mi]
 
         # ---- pass 2: XCCY stages (composed parent directions) --------
-        xstate: Dict[int, dict] = {}
         for si in xccy_last:
             st = stages[si]
             b = B[st.key]
@@ -257,7 +274,6 @@ def make_structured_risk(basket):
                     rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
                     return ds, rows
 
-                fwd_of[si] = fwd
                 (ds, rows), jvp = jax.linearize(fwd, spreads)
                 seeds = jnp.broadcast_to(
                     jnp.eye(S, dtype=dt)[:, None, :], (S, G, S))
@@ -266,7 +282,7 @@ def make_structured_risk(basket):
                 for mi, cid in enumerate(st.ids):
                     ds_of[cid] = ds[mi]
                     rows_of[cid] = rows[mi]
-                xstate[si] = dict(spreads=spreads)
+                carry[si] = dict(dom_ds=dom_ds, for_ds=for_ds)
                 continue
 
             # --- legs sub-stage: the dom curve reaches the bootstrap
@@ -293,7 +309,6 @@ def make_structured_risk(basket):
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
                 return ds, rows
 
-            fwd_of[si] = boot_fn
             (ds, rows), jvp_boot = jax.linearize(boot_fn, spreads, pv0,
                                                  for_ds)
 
@@ -329,10 +344,8 @@ def make_structured_risk(basket):
             for mi, cid in enumerate(st.ids):
                 ds_of[cid] = ds[mi]
                 rows_of[cid] = rows[mi]
-            xstate[si] = dict(spreads=spreads, dom_ds=dom_ds,
-                              for_ds=for_ds, pv0=pv0, Jpv=Jpv,
-                              td_legs=td_legs, tf2=tf2,
-                              legs_fn=legs_fn)
+            carry[si] = dict(dom_ds=dom_ds, for_ds=for_ds, pv0=pv0,
+                             Jpv=Jpv, td_legs=td_legs, tf2=tf2)
 
         # ---- aggregate gradient --------------------------------------
         dfs_flat = jnp.concatenate([rows_of[c] for c in range(C)])
@@ -346,40 +359,43 @@ def make_structured_risk(basket):
             blocks.append(_place_rows(drows_st[si][:, mi, :],
                                       _segments(si, mi), U))
         J = jnp.concatenate(blocks, axis=1)                 # [N, C*U]
-        out = {"delta": J @ g, "dfs": dfs_flat}
-        if not want_gamma:
-            return out
+        return {"dfs": dfs_flat, "g": g, "J": J, "delta": J @ g,
+                "carry": carry}
 
-        term1 = (_gamma_quad_form(J, dfs_flat, agg, clamp_agg)
-                 if "t1" in terms else jnp.zeros((N, N), dt))
+    def term1(J, dfs_flat, agg, clamp_agg):
+        return _gamma_quad_form(J, dfs_flat, agg, clamp_agg)
 
-        # ---- term2: per-stage hessians, XCCY first (cotangents flow
-        # onto the parent OIS natives) ---------------------------------
+    def term2(qvec, P, g, carry):
+        B = P["bat"]
+        ut = P["unique_times"]
+        dt = qvec.dtype
+
+        # ---- per-stage hessians, XCCY first (cotangents flow onto the
+        # parent OIS natives) ------------------------------------------
         g0 = jax.lax.stop_gradient(g)
         H2 = jnp.zeros((N, N), dt)
         v_of: Dict[int, jnp.ndarray] = {}
-        if "t2" not in terms:
-            out["gamma"] = term1
-            return out
 
         for si in xccy_last:
             st = stages[si]
             b = B[st.key]
             m = xmeta[si]
-            xs = xstate[si]
+            xs = carry[si]
             G = len(st.ids)
             S = m["S"]
-            D = m["D"]
             g_stage = jnp.stack(
                 [g0[cid * U:(cid + 1) * U] for cid in st.ids])  # [G, U]
+            spreads = qvec[b["qidx"]]                       # [G, S]
 
             if m["parents"] is None:
-                def s_plain(sp, g_stage=g_stage, fwd=fwd_of[si]):
-                    _, rows = fwd(sp)
+                def s_plain(sp, b=b, st=st, si=si, g_stage=g_stage,
+                            dom_ds=xs["dom_ds"], for_ds=xs["for_ds"]):
+                    ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
+                    rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
                     return jnp.vdot(g_stage, rows)
 
                 gfun = jax.grad(s_plain)
-                _, jvp2 = jax.linearize(gfun, xs["spreads"])
+                _, jvp2 = jax.linearize(gfun, spreads)
                 seeds = jnp.broadcast_to(
                     jnp.eye(S, dtype=dt)[:, None, :], (S, G, S))
                 Hx = jax.vmap(jvp2)(seeds)                 # [S, G, S]
@@ -388,10 +404,16 @@ def make_structured_risk(basket):
                                      _segments(si, mi))
                 continue
 
-            boot_fn = fwd_of[si]
-            sp0, pv0, fd0 = xs["spreads"], xs["pv0"], xs["for_ds"]
+            def legs_fn(dd, b=b, st=st):
+                return xccy_legs_pv(dd, b, st)
+
+            def boot_fn(sp, pv, fd, b=b, st=st, si=si):
+                ds = xccy_boot_ds(sp, pv, fd, b, st)
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return ds, rows
+
+            sp0, pv0, fd0 = spreads, xs["pv0"], xs["for_ds"]
             Jpv, td_legs, tf2 = xs["Jpv"], xs["td_legs"], xs["tf2"]
-            legs_fn = xs["legs_fn"]
             Qd, Qf = td_legs.shape[0], tf2.shape[0] - 2 * S
 
             def s_boot(sp, pv, fd, g_stage=g_stage, boot_fn=boot_fn):
@@ -477,7 +499,12 @@ def make_structured_risk(basket):
             P1 = b["ts_static"].shape[1]
             v_stage = jnp.stack([
                 v_of.get(cid, jnp.zeros(P1, dt)) for cid in st.ids])
-            fwd = fwd_of[si]
+
+            def fwd(r, b=b, st=st, si=si):
+                ds = (ois_native_ds(r, b) if st.kind == "ois"
+                      else infl_native_ds(r, b))
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return ds, rows
 
             def psi(r, fwd=fwd, g_stage=g_stage, v_stage=v_stage):
                 ds, rows = fwd(r)
@@ -491,7 +518,40 @@ def make_structured_risk(basket):
             for mi, cid in enumerate(st.ids):
                 H2 = _place_hess(H2, Hs[:, mi, :], _segments(si, mi))
 
-        out["gamma"] = term1 + H2
+        return H2
+
+    return dict(fwd_delta=fwd_delta, term1=term1, term2=term2,
+                meta=meta)
+
+
+def make_structured_risk(basket):
+    """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
+    basket's batched stage topology. Requires the basket to have been
+    compiled with batch_curves=True (basket._stages present).
+
+    This is the monolithic composition of make_structured_parts — one
+    traceable function a caller jits whole (multibook.make_multibook_fn
+    does, vmapped over scenarios). For independently-compiled region
+    programs use the parts directly (multibook.make_staged_multibook_fn).
+    """
+    parts = make_structured_parts(basket)
+    fwd_delta = parts["fwd_delta"]
+    term1 = parts["term1"]
+    term2 = parts["term2"]
+    N = parts["meta"]["N"]
+
+    def scenario_risk(qvec, P, agg, clamp_agg, want_gamma,
+                      terms=("t1", "t2")):
+        fw = fwd_delta(qvec, P, agg, clamp_agg)
+        out = {"delta": fw["delta"], "dfs": fw["dfs"]}
+        if not want_gamma:
+            return out
+        dt = qvec.dtype
+        gamma = (term1(fw["J"], fw["dfs"], agg, clamp_agg)
+                 if "t1" in terms else jnp.zeros((N, N), dt))
+        if "t2" in terms:
+            gamma = gamma + term2(qvec, P, fw["g"], fw["carry"])
+        out["gamma"] = gamma
         return out
 
     return scenario_risk

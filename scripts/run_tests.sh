@@ -30,6 +30,7 @@ if [ "$MODE" = "full" ]; then
     run tests/test_multibook_core.py
     run tests/test_multibook_pertrade.py tests/test_pertrade_blocks.py
     run tests/test_multibook_sharded.py
+    run tests/test_staged_risk.py
     run tests/test_multibook_collateral.py
     run tests/test_curve_batching.py tests/test_curve_bootstrap.py
     run tests/test_jit_caching.py tests/test_marketdata.py
