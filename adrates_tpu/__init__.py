@@ -22,6 +22,7 @@ jax.config.update("jax_enable_x64", True)
 
 from . import utils
 from .utils import *  # noqa: F401,F403 — conventions are the base namespace
-from .utils.compile_cache import configure_cache  # noqa: F401
+from .utils.compile_cache import (configure_cache,  # noqa: F401
+                                  export_cache, import_cache)
 
 __version__ = "0.1.0"

@@ -104,3 +104,58 @@ def configure_cache(cache_dir: Optional[str] = None,
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
     return cache_dir
+
+
+def _cache_root(cache_root: Optional[str] = None) -> str:
+    """The cache PARENT directory (above the per-host fingerprint
+    subdirs), resolved with the same precedence as configure_cache."""
+    return (cache_root
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.environ.get("ADRATES_CACHE_DIR")
+            or _DEFAULT_DIR)
+
+
+def export_cache(dest_tar: str,
+                 cache_root: Optional[str] = None) -> str:
+    """Pack the persistent compile cache into a ``.tar.gz`` to ship with
+    a deployment — the other half of the cold-start story (the first
+    half is the staged parallel precompile,
+    parallel.make_staged_multibook_fn): a fresh production host unpacks
+    the archive and pays ZERO compiles for every program the build host
+    already compiled.
+
+    The archive contains the whole cache ROOT including the per-host
+    CPU-fingerprint subdirectories, so shipping is always safe: a host
+    whose CPU hashes differently simply never reads the foreign CPU
+    entries (XLA:CPU cache entries are AOT executables specialized to
+    the compile host's ISA — replaying one elsewhere risks SIGILL, see
+    _host_fingerprint). TPU entries are keyed by jax version + device
+    kind inside the cache itself; ship between identical jax versions.
+    """
+    import tarfile
+
+    root = _cache_root(cache_root)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"no compile cache at {root}")
+    with tarfile.open(dest_tar, "w:gz") as tf:
+        tf.add(root, arcname=".")
+    return dest_tar
+
+
+def import_cache(src_tar: str, cache_root: Optional[str] = None,
+                 min_compile_secs: float = 1.0) -> str:
+    """Unpack a shipped compile-cache archive (export_cache) into this
+    host's cache root and activate it. Returns the active (fingerprint-
+    suffixed) cache directory. Entries compiled on a host with a
+    different CPU fingerprint land in their own subdirectory and are
+    never replayed here."""
+    import tarfile
+
+    root = _cache_root(cache_root)
+    os.makedirs(root, exist_ok=True)
+    with tarfile.open(src_tar) as tf:
+        try:
+            tf.extractall(root, filter="data")
+        except TypeError:  # python < 3.12: no extraction filters
+            tf.extractall(root)  # noqa: S202 — trusted deployment artifact
+    return configure_cache(root, min_compile_secs=min_compile_secs)
