@@ -1823,18 +1823,27 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
             jobs["C"] = (_C, (qv, Ps, a_sh["g"], a_sh["carry"], sh))
             jobs["D"] = (_D, (t1_sh, t1_sh))
 
-        def build(item):
+        import time
+
+        timings: Dict[str, float] = {}
+
+        def build(name, item):
             f, args = item
-            return f.lower(*args).compile()
+            t0 = time.perf_counter()
+            compiled = f.lower(*args).compile()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return compiled
 
         if parallel:
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-                futs = {k: ex.submit(build, v) for k, v in jobs.items()}
+                futs = {k: ex.submit(build, k, v)
+                        for k, v in jobs.items()}
                 execs.update({k: f.result() for k, f in futs.items()})
         else:
-            execs.update({k: build(v) for k, v in jobs.items()})
+            execs.update({k: build(k, v) for k, v in jobs.items()})
         state["chunk"] = chunk
         state["S"] = int(n_scenarios)
+        fn.compile_seconds = timings
         return fn
 
     fn.precompile = precompile
@@ -2184,6 +2193,49 @@ def _harvest_sel_tables(mb: MultiBook, trade_ids) -> Dict[str, np.ndarray]:
         cl_p=cl_arr[:, 3].astype(np.int32),
         cl_ia=cl_arr[:, 4], cl_w=cl_arr[:, 5], cl_sp=cl_arr[:, 6],
         cl_cap=cl_arr[:, 7], cl_lo=cl_arr[:, 8])
+
+    # ---- grouped quad-form pair tables --------------------------------
+    # The trade-Hessian quad form is a sum of w_pair * J_col1 (x) J_col2
+    # outer products. Grouped BY TRADE with pad slots, the whole sum is
+    # B batched [N, K] @ [K, N] matmuls (MXU) instead of a [P, N, N]
+    # per-slot outer-product temporary + scatter-add (20+ GB compile-time
+    # HBM at flagship slot counts — the v5e OOM; and the chunked-scatter
+    # fallback writes ~100s of GB).
+    #
+    # Pair-weight indexing is SLOT-MAJOR (idx = 1 + 4*slot + kind, the
+    # device interleaves the four kind vectors per slot) and SPLIT per
+    # slot family (trip / clamp), so zero-padding the flat slot tables
+    # to a common length — the mesh-sharded builder stacks shards that
+    # way — never moves a live index: pad slots append at the end with
+    # w=0. Index 0 is a dummy zero weight so K-padding with zeros is
+    # inert. Self-pairs (bb / vv) carry 0.5 so the final Z + Z^T
+    # symmetrization restores them exactly.
+    def grouped(b_idx, c_triples):
+        ents: List[list] = [[] for _ in range(B_sel)]
+        for i in range(b_idx.shape[0]):
+            b = int(b_idx[i])
+            (x1, y1), (x2, y2), (x3, y3), (x4, y4) = c_triples(i)
+            ents[b] += [(1 + 4 * i + 0, x1, y1), (1 + 4 * i + 1, x2, y2),
+                        (1 + 4 * i + 2, x3, y3), (1 + 4 * i + 3, x4, y4)]
+        K = max([len(x) for x in ents] + [1])
+        gq = np.zeros((3, B_sel, K), np.int32)
+        for b, lst in enumerate(ents):
+            if lst:
+                gq[:, b, :len(lst)] = np.asarray(lst, np.int32).T
+        return gq
+
+    def trip_pairs(i):
+        s, e, p = int(T["tr_s"][i]), int(T["tr_e"][i]), int(T["tr_p"][i])
+        return (s, e), (s, p), (e, p), (e, e)        # ab, ac, bc, bb/2
+
+    def clamp_pairs(i):
+        u, v, p = int(T["cl_s"][i]), int(T["cl_e"][i]), int(T["cl_p"][i])
+        return (u, v), (u, p), (v, p), (v, v)        # uv, up, vp, vv/2
+
+    gqt = grouped(T["tr_b"], trip_pairs)
+    gqc = grouped(T["cl_b"], clamp_pairs)
+    T["gqt_w"], T["gqt_c1"], T["gqt_c2"] = gqt[0], gqt[1], gqt[2]
+    T["gqc_w"], T["gqc_c1"], T["gqc_c2"] = gqc[0], gqc[1], gqc[2]
     return T
 
 
@@ -2195,7 +2247,8 @@ def _sel_gamma_kernel(basket, B_sel: int):
         gamma_b = Jᵀ·H_b·J + Σ_k g_bk · ∂²dfs_k/∂q∂q
 
     H_b (the trade's own DF-space Hessian) is closed form over its trip
-    and clamp slots — batched einsums, no AD through the sweep; the
+    and clamp slots — per-trade grouped [N, K] @ [K, N] batched matmuls
+    over the harvest's pair tables, no AD through the sweep; the
     curve-Hessian contraction reuses the structured per-stage
     second-order tensors (structured_risk.make_pertrade_curvehess)."""
     grids = basket.grids
@@ -2222,26 +2275,41 @@ def _sel_gamma_kernel(basket, B_sel: int):
         G = G.at[tb["tr_b"], tb["tr_e"]].add(-w * a * c_ / (b_ * b_))
         G = G.at[tb["tr_b"], tb["tr_p"]].add(w * (a / b_ - 1.0))
 
-        # trade Hessian quad form: [B, N, N] via slot einsums
-        Ja = J[:, tb["tr_s"]].T        # [P, N]
-        Jb = J[:, tb["tr_e"]].T
-        Jc = J[:, tb["tr_p"]].T
+        # second partials of (a/b - 1)·c per trip slot, interleaved
+        # slot-major to match the grouped tables (idx = 1 + 4*slot +
+        # kind, kinds ab/ac/bc/bb2; index 0 = dummy zero)
         f_ab = -c_ / (b_ * b_)
         f_ac = 1.0 / b_
         f_bb = 2.0 * a * c_ / (b_ * b_ * b_)
         f_bc = -a / (b_ * b_)
+        w_tr = jnp.concatenate([
+            jnp.zeros((1,), qvec.dtype),
+            jnp.stack([w * f_ab, w * f_ac, w * f_bc, 0.5 * w * f_bb],
+                      axis=1).reshape(-1)])
 
-        def quad(bi, wf, X, Y):
-            M = jnp.einsum("p,pn,pm->pnm", wf, X, Y)
-            out = jnp.zeros((B_sel, X.shape[1], X.shape[1]))
-            return out.at[bi].add(M)
+        Jrows = J.T                                   # [CU, N]
 
-        bi = tb["tr_b"]
-        Gm = quad(bi, w * f_ab, Ja, Jb)
-        Gm = Gm + quad(bi, w * f_ac, Ja, Jc)
-        Gm = Gm + quad(bi, w * f_bc, Jb, Jc)
-        Gm = Gm + jnp.swapaxes(Gm, 1, 2)
-        Gm = Gm + quad(bi, w * f_bb, Jb, Jb)
+        def grouped_quad(Z, w_flat, wi, c1, c2):
+            """Z += sum_k w_flat[wi[b,k]] * Jrows[c1] (x) Jrows[c2] as
+            B batched [N, Kc] @ [Kc, N] MXU matmuls. The per-slot
+            outer-product form ([P, N, N] temporary + scatter-add)
+            OOM'd the v5e compile at flagship_v4 slot counts (22.9 G >
+            15.75 G hbm) and its chunked-scan variant was HBM-traffic
+            bound (~140 s/run); the grouped form reads each operand
+            once. K chunks bound the [B, Kc, N] gathers ~200 MB f64."""
+            wk = w_flat[wi]                           # [B, K]
+            Kg = wk.shape[1]
+            Kc = max(1, min(Kg, int(2e8 // max(B_sel * N * 8 * 2, 1))))
+            for lo in range(0, Kg, Kc):
+                hi = min(Kg, lo + Kc)
+                X = wk[:, lo:hi, None] * Jrows[c1[:, lo:hi]]
+                Y = Jrows[c2[:, lo:hi]]
+                Z = Z + jnp.einsum("bkn,bkm->bnm", X, Y)
+            return Z
+
+        Z = jnp.zeros((B_sel, N, N), qvec.dtype)
+        Z = grouped_quad(Z, w_tr, tb["gqt_w"], tb["gqt_c1"],
+                         tb["gqt_c2"])
 
         if tb["cl_b"].shape[0]:
             u = dfs[tb["cl_s"]]
@@ -2257,15 +2325,17 @@ def _sel_gamma_kernel(basket, B_sel: int):
             G = G.at[cb_, tb["cl_p"]].add(tb["cl_w"] * rate)
             G = G.at[cb_, tb["cl_s"]].add(wI * p / (ia * v))
             G = G.at[cb_, tb["cl_e"]].add(-wI * p * u / (ia * v * v))
-            Ju = J[:, tb["cl_s"]].T
-            Jv = J[:, tb["cl_e"]].T
-            Jp = J[:, tb["cl_p"]].T
-            Gc = quad(cb_, -wI * p / (ia * v * v), Ju, Jv)
-            Gc = Gc + quad(cb_, wI / (ia * v), Ju, Jp)
-            Gc = Gc + quad(cb_, -wI * u / (ia * v * v), Jv, Jp)
-            Gc = Gc + jnp.swapaxes(Gc, 1, 2)
-            Gc = Gc + quad(cb_, 2.0 * wI * p * u / (ia * v ** 3), Jv, Jv)
-            Gm = Gm + Gc
+            w_cl = jnp.concatenate([
+                jnp.zeros((1,), qvec.dtype),
+                jnp.stack([-wI * p / (ia * v * v), wI / (ia * v),
+                           -wI * u / (ia * v * v),
+                           wI * p * u / (ia * v ** 3)],
+                          axis=1).reshape(-1)])
+            Z = grouped_quad(Z, w_cl, tb["gqc_w"], tb["gqc_c1"],
+                             tb["gqc_c2"])
+
+        # Z + Z^T restores the symmetric pairs (self-pairs carry 0.5)
+        Gm = Z + jnp.swapaxes(Z, 1, 2)
 
         # curve-Hessian contraction, shared machinery with the book
         # gamma: per-stage second-order tensors contracted with each

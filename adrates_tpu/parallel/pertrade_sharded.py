@@ -240,11 +240,18 @@ def make_sharded_per_trade_gamma_fn(mb: MultiBook, mesh, trade_ids,
             for i in range(n_shards)]
     stacked: Dict[str, jnp.ndarray] = {}
     for k in tabs[0]:
-        n = max(t[k].shape[0] for t in tabs)
+        # flat slot tables pad along the slot axis (axis 0); the grouped
+        # quad-form pair tables gq_* are [B_loc, K] and pad along K.
+        # Zero fill is inert either way: zero-weight slots, and gq index
+        # 0 points at the grouped layout's dummy zero weight.
+        ax = 1 if k.startswith(("gqt_", "gqc_")) else 0
+        n = max(t[k].shape[ax] for t in tabs)
 
-        def padk(a, n=n):
-            out = np.zeros((n,) + a.shape[1:], dtype=a.dtype)
-            out[:a.shape[0]] = a
+        def padk(a, n=n, ax=ax):
+            shape = list(a.shape)
+            shape[ax] = n
+            out = np.zeros(shape, dtype=a.dtype)
+            out[tuple(slice(0, s) for s in a.shape)] = a
             return out
 
         stacked[k] = np.stack([padk(t[k]) for t in tabs])
