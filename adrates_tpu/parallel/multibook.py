@@ -1809,12 +1809,20 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
                 lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
                                                jnp.result_type(x)), t)
 
+        import time
+
         qv = jax.ShapeDtypeStruct((N,), dt)
         sh = jax.ShapeDtypeStruct((chunk, N), dt)
         Ps, ags, cls = sds(params), sds(agg), sds(clamp_agg)
-        a_sh = jax.eval_shape(_A, qv, Ps, ags, cls, sh)
+        # lower A once and read its output avals from the Lowered —
+        # a separate eval_shape would trace the (large) region graph a
+        # second time for nothing
+        t0 = time.perf_counter()
+        lowered_A = _A.lower(qv, Ps, ags, cls, sh)
+        a_sh = lowered_A.out_info
+        trace_A_s = round(time.perf_counter() - t0, 3)
         dfs_full = jax.ShapeDtypeStruct((int(n_scenarios), CU), dt)
-        jobs = {"A": (_A, (qv, Ps, ags, cls, sh)),
+        jobs = {"A": lowered_A,
                 "P": (_pvs_program, (dfs_full, sds(cols), sds(clamp),
                                      ags, sds(trade_rows_idx)))}
         if want_gamma:
@@ -1823,14 +1831,13 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
             jobs["C"] = (_C, (qv, Ps, a_sh["g"], a_sh["carry"], sh))
             jobs["D"] = (_D, (t1_sh, t1_sh))
 
-        import time
-
-        timings: Dict[str, float] = {}
+        timings: Dict[str, float] = {"trace_A": trace_A_s}
 
         def build(name, item):
-            f, args = item
             t0 = time.perf_counter()
-            compiled = f.lower(*args).compile()
+            lowered = (item if name == "A"
+                       else item[0].lower(*item[1]))
+            compiled = lowered.compile()
             timings[name] = round(time.perf_counter() - t0, 3)
             return compiled
 

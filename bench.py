@@ -418,6 +418,10 @@ def main():
         log(f"warmup_multibook (compile+first run, staged={staged}, "
             f"gamma={want_gamma}, S={n_scen_try}): "
             f"{phases[key]:.0f} ms")
+        secs = getattr(fn, "compile_seconds", None)
+        if secs:
+            phases["staged_region_compile_s"] = secs
+            log(f"staged region compiles (concurrent): {secs}")
         t0 = time.perf_counter()
         fetch(fn(q0, sh))
         return time.perf_counter() - t0
