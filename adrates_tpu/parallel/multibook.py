@@ -1677,11 +1677,12 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
     through independently-compiled REGION programs instead of one
     monolithic jit:
 
-        A  fwd+J+delta   (structured_risk fwd_delta, vmapped)
-        B  term1         (trip-table quad form over A's J)
-        C  term2         (per-stage curve hessians; reads A's carry)
-        D  gamma = t1+t2
-        P  per-trade PV sweep over A's DF grids
+        A   fwd+J+delta   (structured_risk fwd_delta, vmapped)
+        B   term1         (trip-table quad form over A's J)
+        C1  term2, XCCY stages (curve hessians + parent cotangents)
+        C2  term2, OIS/inflation stages (consume C1's cotangents)
+        D   gamma = t1 + h2_xccy + h2_ois
+        P   per-trade PV sweep over A's DF grids
 
     Why: the flagship monolith is the largest compile in the package
     (~300 s cold on the tunneled v5e backend) and XLA compiles it
@@ -1714,7 +1715,8 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
     parts = make_structured_parts(basket)
     fwd_delta = parts["fwd_delta"]
     term1 = parts["term1"]
-    term2 = parts["term2"]
+    term2_xccy = parts["term2_xccy"]
+    term2_ois = parts["term2_ois"]
 
     params = jax.device_put(basket.params)
     cols = jax.device_put(mb.cols)
@@ -1741,31 +1743,41 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
     def _B(J, dfs, ag, cl_agg):
         return jax.vmap(lambda j, d: term1(j, d, ag, cl_agg))(J, dfs)
 
+    # term2 splits at its natural cut — XCCY-stage hessians produce the
+    # parent cotangents (C1), OIS-stage hessians consume them (C2) — so
+    # the largest region compile halves into two concurrent programs.
     @jax.jit
-    def _C(qvec, P, g, carry, shocks):
+    def _C1(qvec, P, g, carry, shocks):
         return jax.vmap(
-            lambda gi, ci, s: term2(qvec + s, P, gi, ci))(
+            lambda gi, ci, s: term2_xccy(qvec + s, P, gi, ci))(
                 g, carry, shocks)
 
     @jax.jit
-    def _D(t1, t2):
-        return t1 + t2
+    def _C2(qvec, P, g, v_of, shocks):
+        return jax.vmap(
+            lambda gi, vi, s: term2_ois(qvec + s, P, gi, vi))(
+                g, v_of, shocks)
+
+    @jax.jit
+    def _D(t1, h2x, h2o):
+        return t1 + h2x + h2o
 
     execs: Dict[str, object] = {}
     state = {"chunk": None, "S": None}
 
     def _run_chunk(qvec, sh):
         use = execs if sh.shape[0] == state["chunk"] else {}
-        a = use["A"](qvec, params, agg, clamp_agg, sh) if "A" in use \
-            else _A(qvec, params, agg, clamp_agg, sh)
+        def call(name, jit_fn, *args):
+            return use[name](*args) if name in use else jit_fn(*args)
+
+        a = call("A", _A, qvec, params, agg, clamp_agg, sh)
         res = {"delta": a["delta"], "dfs": a["dfs"]}
         if want_gamma:
-            t1 = use["B"](a["J"], a["dfs"], agg, clamp_agg) \
-                if "B" in use else _B(a["J"], a["dfs"], agg, clamp_agg)
-            t2 = use["C"](qvec, params, a["g"], a["carry"], sh) \
-                if "C" in use \
-                else _C(qvec, params, a["g"], a["carry"], sh)
-            res["gamma"] = use["D"](t1, t2) if "D" in use else _D(t1, t2)
+            t1 = call("B", _B, a["J"], a["dfs"], agg, clamp_agg)
+            h2x, v_of = call("C1", _C1, qvec, params, a["g"],
+                             a["carry"], sh)
+            h2o = call("C2", _C2, qvec, params, a["g"], v_of, sh)
+            res["gamma"] = call("D", _D, t1, h2x, h2o)
         return res
 
     def fn(qvec, shocks):
@@ -1817,25 +1829,36 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
         # lower A once and read its output avals from the Lowered —
         # a separate eval_shape would trace the (large) region graph a
         # second time for nothing
-        t0 = time.perf_counter()
-        lowered_A = _A.lower(qv, Ps, ags, cls, sh)
+        timings: Dict[str, float] = {}
+
+        def lower_now(name, f, *args):
+            # regions whose OUTPUT avals gate another region's lowering
+            # are lowered serially here (out_info on the Lowered — a
+            # separate eval_shape would trace the large graph twice)
+            t0 = time.perf_counter()
+            lowered = f.lower(*args)
+            timings["trace_" + name] = round(time.perf_counter() - t0, 3)
+            return lowered
+
+        lowered_A = lower_now("A", _A, qv, Ps, ags, cls, sh)
         a_sh = lowered_A.out_info
-        trace_A_s = round(time.perf_counter() - t0, 3)
         dfs_full = jax.ShapeDtypeStruct((int(n_scenarios), CU), dt)
         jobs = {"A": lowered_A,
                 "P": (_pvs_program, (dfs_full, sds(cols), sds(clamp),
                                      ags, sds(trade_rows_idx)))}
         if want_gamma:
             t1_sh = jax.ShapeDtypeStruct((chunk, N, N), dt)
+            lowered_C1 = lower_now("C1", _C1, qv, Ps, a_sh["g"],
+                                   a_sh["carry"], sh)
+            _, vof_sh = lowered_C1.out_info
             jobs["B"] = (_B, (a_sh["J"], a_sh["dfs"], ags, cls))
-            jobs["C"] = (_C, (qv, Ps, a_sh["g"], a_sh["carry"], sh))
-            jobs["D"] = (_D, (t1_sh, t1_sh))
-
-        timings: Dict[str, float] = {"trace_A": trace_A_s}
+            jobs["C1"] = lowered_C1
+            jobs["C2"] = (_C2, (qv, Ps, a_sh["g"], vof_sh, sh))
+            jobs["D"] = (_D, (t1_sh, t1_sh, t1_sh))
 
         def build(name, item):
             t0 = time.perf_counter()
-            lowered = (item if name == "A"
+            lowered = (item if hasattr(item, "compile")
                        else item[0].lower(*item[1]))
             compiled = lowered.compile()
             timings[name] = round(time.perf_counter() - t0, 3)

@@ -365,7 +365,12 @@ def make_structured_parts(basket):
     def term1(J, dfs_flat, agg, clamp_agg):
         return _gamma_quad_form(J, dfs_flat, agg, clamp_agg)
 
-    def term2(qvec, P, g, carry):
+    def term2_xccy(qvec, P, g, carry):
+        """XCCY-stage hessian placements + the chain cotangents their
+        parents owe: returns (H2_xccy [N, N], v_of {str(cid): [P1]}).
+        Separable from term2_ois so the staged builder compiles the two
+        halves as concurrent programs (the combined term2 is the
+        largest region compile)."""
         B = P["bat"]
         ut = P["unique_times"]
         dt = qvec.dtype
@@ -374,7 +379,7 @@ def make_structured_parts(basket):
         # parent OIS natives) ------------------------------------------
         g0 = jax.lax.stop_gradient(g)
         H2 = jnp.zeros((N, N), dt)
-        v_of: Dict[int, jnp.ndarray] = {}
+        v_of: Dict[str, jnp.ndarray] = {}
 
         for si in xccy_last:
             st = stages[si]
@@ -432,9 +437,10 @@ def make_structured_parts(basket):
                 for cid_par, cot, p1 in (
                         (st.dom_ids[mi], gdd, p["p1d"]),
                         (st.for_ids[mi], gf, p["p1f"])):
-                    prev = v_of.get(cid_par)
+                    prev = v_of.get(str(cid_par))
                     add = cot[mi, :p1]
-                    v_of[cid_par] = add if prev is None else prev + add
+                    v_of[str(cid_par)] = (add if prev is None
+                                          else prev + add)
 
             # boot-stage hessian over (basis, pv, composed-foreign) dirs
             def s_hat(Z, sp0=sp0, pv0=pv0, fd0=fd0, tf2=tf2, S=S):
@@ -489,6 +495,17 @@ def make_structured_parts(basket):
                 # (group-pad duplicate dirs folded by _place_hess)
                 H2 = _place_hess(H2, Hq, _segments(si, mi))
 
+        return H2, v_of
+
+    def term2_ois(qvec, P, g, v_of):
+        """OIS/inflation-stage hessian placements with the XCCY chain
+        cotangents (term2_xccy's v_of) folded into each stage scalar."""
+        B = P["bat"]
+        ut = P["unique_times"]
+        dt = qvec.dtype
+        g0 = jax.lax.stop_gradient(g)
+        H2 = jnp.zeros((N, N), dt)
+
         for si in ois_first:
             st = stages[si]
             b = B[st.key]
@@ -498,7 +515,8 @@ def make_structured_parts(basket):
                 [g0[cid * U:(cid + 1) * U] for cid in st.ids])  # [G, U]
             P1 = b["ts_static"].shape[1]
             v_stage = jnp.stack([
-                v_of.get(cid, jnp.zeros(P1, dt)) for cid in st.ids])
+                v_of.get(str(cid), jnp.zeros(P1, dt))
+                for cid in st.ids])
 
             def fwd(r, b=b, st=st, si=si):
                 ds = (ois_native_ds(r, b) if st.kind == "ois"
@@ -520,8 +538,12 @@ def make_structured_parts(basket):
 
         return H2
 
+    def term2(qvec, P, g, carry):
+        H2x, v_of = term2_xccy(qvec, P, g, carry)
+        return H2x + term2_ois(qvec, P, g, v_of)
+
     return dict(fwd_delta=fwd_delta, term1=term1, term2=term2,
-                meta=meta)
+                term2_xccy=term2_xccy, term2_ois=term2_ois, meta=meta)
 
 
 def make_structured_risk(basket):

@@ -58,7 +58,7 @@ class TestStagedRisk:
         mb, q0, shocks, ref = book
         fn = make_staged_multibook_fn(mb)
         fn.precompile(S, parallel=True)
-        assert set(fn.programs) == {"A", "B", "C", "D", "P"}
+        assert set(fn.programs) == {"A", "B", "C1", "C2", "D", "P"}
         _assert_matches(ref, fn(q0, shocks))
 
     def test_multichunk_padding(self, book):
