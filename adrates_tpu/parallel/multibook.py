@@ -1805,13 +1805,24 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
                                         trade_rows_idx))
         return res
 
-    def precompile(n_scenarios: int, parallel: bool = True):
+    def precompile(n_scenarios: int, parallel: bool = True,
+                   compiler_options: Optional[dict] = None):
         """AOT-compile every region program for the exact shapes a
         (n_scenarios, N)-shock call will dispatch, in parallel threads
         when the backend's compile service supports it. Keeps the
         executables; fn() dispatches through them (a later jit-path
         call would RE-compile — lower().compile() does not seed the
-        jit dispatch cache)."""
+        jit dispatch cache).
+
+        ``compiler_options`` passes through to every region's XLA
+        compile. Measured warning (flagship, v5e remote):
+        {"exec_time_optimization_effort": -1.0} bought NO compile time
+        (214.8 s vs 217.5 s cold — the concurrent-compile wall is the
+        largest region either way) and cost 6x at runtime (770 ms ->
+        4.8 s book pass). Keep the default (no options, full
+        optimization) unless measuring something new; unknown keys
+        crash the remote compile helper (docs/
+        tpu_operational_notes.md)."""
         from concurrent.futures import ThreadPoolExecutor
 
         chunk = min(chunk_cap, int(n_scenarios))
@@ -1860,7 +1871,11 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
             t0 = time.perf_counter()
             lowered = (item if hasattr(item, "compile")
                        else item[0].lower(*item[1]))
-            compiled = lowered.compile()
+            if compiler_options:
+                compiled = lowered.compile(
+                    compiler_options=compiler_options)
+            else:
+                compiled = lowered.compile()
             timings[name] = round(time.perf_counter() - t0, 3)
             return compiled
 
