@@ -354,6 +354,30 @@ class TestBookSpeed:
             np.testing.assert_allclose(
                 speed[:, :, k], fd, rtol=5e-4, atol=1e-6 * scale)
 
+    def test_speed_guard_at_large_n(self, model, monkeypatch):
+        """Above SPEED_MAX_QUOTES quotes the builder raises (VERDICT r4
+        weak #7: a flagship-size basket must get an error, not an
+        unbounded compile); force=True overrides."""
+        from adrates_tpu.parallel import make_multibook_speed_fn
+        from adrates_tpu.parallel import multibook as mbmod
+        from adrates_tpu.utils import LibError
+
+        trades = _trades(model)
+        mb = compile_multibook(trades, model,
+                               base_currency=CurrencyTypes.GBP)
+        # shrink the threshold below this basket's N to exercise the
+        # guard without building a 184-quote flagship model in tests
+        monkeypatch.setattr(mbmod, "SPEED_MAX_QUOTES",
+                            mb.basket.n_quotes - 1)
+        with pytest.raises(LibError, match="force=True"):
+            make_multibook_speed_fn(mb)
+        fn = make_multibook_speed_fn(mb, force=True)   # builds, no raise
+        assert callable(fn)
+        # at N <= threshold the builder succeeds unguarded
+        monkeypatch.setattr(mbmod, "SPEED_MAX_QUOTES",
+                            mb.basket.n_quotes)
+        assert callable(make_multibook_speed_fn(mb))
+
     def test_speed_tile_linearity(self, model):
         """Tiled x3 with notional scales: speed scales by sum(scale) —
         third-order risk is linear in notional like every PV measure."""
