@@ -7,6 +7,7 @@ from .book import (BookAggregate, BookTensors, aggregate_book,
 from .pertrade_blocks import (GammaBlockGroup, dense_from_block,
                               make_per_trade_gamma_blocks_fn)
 from .pertrade_sharded import (make_sharded_per_trade_delta_fn,
+                               make_sharded_per_trade_gamma_blocks_fn,
                                make_sharded_per_trade_gamma_fn)
 from .multibook import (ClampSlots, CurveBasket, MultiBook,
                         MultiBookAggregate, MultiBookRows, aggregate_total,

@@ -239,10 +239,15 @@ def _tables_device(sub: dict, U: int, row_pos: Dict[int, int]) -> dict:
     return out
 
 
-def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
-    """Build fn(qvec) -> List[GammaBlockGroup] with every trade's exact
-    own-block gamma matrix (see module docstring). Requires the batched
-    stage topology (compile_multibook's default batch_curves=True)."""
+def _group_specs(mb: MultiBook, chunk: Optional[int]):
+    """Per-signature-group static metadata shared by the single-device
+    and mesh-sharded block builders. Returns (specs, scale, B_base,
+    n_cop); each spec carries cids/qidx/row_pos/trade_ids/Bg, the raw
+    harvested slot tables ``tab`` (local b indices 0..Bg), and
+    ``make_sub_fn(Bs)`` building the jitted [Bs, k, k] block kernel at
+    a caller-chosen batch size. With ``chunk`` set, also the
+    chunk-split device tables (``tabs_dev``/``sizes``) the
+    single-device sweep dispatches over."""
     basket = mb.basket
     if getattr(basket, "_stages", None) is None:
         raise LibError("per-trade gamma blocks need the batched curve "
@@ -250,9 +255,6 @@ def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
     from .structured_risk import make_pertrade_curvehess
 
     U = mb.unique_times.shape[0]
-    N = basket.n_quotes
-    grids = basket.grids
-    params = jax.device_put(basket.params)
 
     touched = _touched_sets(mb)
     groups_by_sig: Dict[Tuple[int, ...], List[int]] = {}
@@ -270,13 +272,6 @@ def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
         B_base = mb.n_trades
         n_cop = 1
 
-    # shared prep: primal grids + full curve jacobian, one compile
-    @jax.jit
-    def _prep(qvec, P):
-        dfs = grids(qvec, P)
-        J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
-        return dfs, J.T                                   # J as [N, C*U]
-
     group_specs = []
     for cids, base_ids in sorted(groups_by_sig.items()):
         qidx = np.concatenate([
@@ -286,16 +281,9 @@ def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
         k = qidx.shape[0]
         row_pos = {cid: i for i, cid in enumerate(cids)}
         Bg = len(base_ids)
-        n_sub = -(-Bg // chunk)
-        sub_size = -(-Bg // n_sub)
-        sizes = [min(sub_size, Bg - i * sub_size) for i in range(n_sub)]
-        pad_last = sub_size - sizes[-1]
 
         local_of = {t: i for i, t in enumerate(base_ids)}
         tab = _harvest_group(mb, local_of)
-        subs = _split_tables(tab, n_sub, sizes)
-        tabs_dev = [jax.device_put(_tables_device(s, U, row_pos))
-                    for s in subs]
 
         restrict = dict(cids=list(cids), width=k)
         curvehess = make_pertrade_curvehess(basket, restrict=restrict)
@@ -303,7 +291,7 @@ def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
         blk_q = jnp.asarray(qidx)
 
         def _sub_fn(qvec, P, dfs, J, tb, k=k, T=T, blk_q=blk_q,
-                    curvehess=curvehess, Bs=sub_size):
+                    curvehess=curvehess, Bs=None):
             Jb = J[blk_q]                       # [k, C*U]
 
             # DF-space gradient on the restricted rows [Bs, T*U]
@@ -370,14 +358,47 @@ def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
             # term2: restricted curve-Hessian contraction
             return Gm + curvehess(qvec, P, G)
 
-        sub_fn = jax.jit(_sub_fn)
+        def make_sub_fn(Bs, _sub_fn=_sub_fn):
+            from functools import partial
+            return jax.jit(partial(_sub_fn, Bs=Bs))
+
         trade_ids = np.asarray(
             [c * B_base + t for c in range(n_cop) for t in base_ids],
             dtype=np.int64)
-        group_specs.append(dict(
-            cids=tuple(cids), qidx=qidx, trade_ids=trade_ids,
-            tabs=tabs_dev, sizes=sizes, pad_last=pad_last,
-            sub_fn=sub_fn, Bg=Bg))
+        spec = dict(cids=tuple(cids), qidx=qidx, trade_ids=trade_ids,
+                    row_pos=row_pos, tab=tab, Bg=Bg,
+                    make_sub_fn=make_sub_fn)
+        if chunk is not None:
+            n_sub = -(-Bg // chunk)
+            sub_size = -(-Bg // n_sub)
+            sizes = [min(sub_size, Bg - i * sub_size)
+                     for i in range(n_sub)]
+            subs = _split_tables(tab, n_sub, sizes)
+            spec["tabs"] = [jax.device_put(_tables_device(s, U, row_pos))
+                            for s in subs]
+            spec["sizes"] = sizes
+            spec["sub_fn"] = make_sub_fn(sub_size)
+        group_specs.append(spec)
+
+    return group_specs, scale, B_base, n_cop
+
+
+def make_per_trade_gamma_blocks_fn(mb: MultiBook, chunk: int = 8192):
+    """Build fn(qvec) -> List[GammaBlockGroup] with every trade's exact
+    own-block gamma matrix (see module docstring). Requires the batched
+    stage topology (compile_multibook's default batch_curves=True)."""
+    basket = mb.basket
+    grids = basket.grids
+    params = jax.device_put(basket.params)
+
+    # shared prep: primal grids + full curve jacobian, one compile
+    @jax.jit
+    def _prep(qvec, P):
+        dfs = grids(qvec, P)
+        J = jax.jacfwd(lambda q: grids(q, P))(qvec)      # [C*U, N]
+        return dfs, J.T                                   # J as [N, C*U]
+
+    group_specs, scale, B_base, n_cop = _group_specs(mb, chunk)
 
     def fn(qvec) -> List[GammaBlockGroup]:
         qvec = jnp.asarray(qvec)
