@@ -86,6 +86,15 @@ class OISBootstrapPlan:
     # bootstrap_ois).
     child_idx: np.ndarray = None
     child_mask: np.ndarray = None
+    # Static sub-pillar rate-interpolation weights (point_times x
+    # swap_times are both static, so searchsorted + jnp.interp's guards
+    # need not live in the traced graph — they multiply through every AD
+    # level of every stage trace, and compile seconds track traced op
+    # count on the remote TPU service). Same (i0, i1, c) serves the log
+    # and linear spaces: the weights depend only on the time grids.
+    rate_i0: np.ndarray = None       # [P] int32
+    rate_i1: np.ndarray = None       # [P] int32
+    rate_c: np.ndarray = None        # [P] f64 fractional weight
 
 
 def prepare_ois_plan(swap_times: Sequence[float],
@@ -173,13 +182,32 @@ def prepare_ois_plan(swap_times: Sequence[float],
             child_idx[j, k] = i
             child_mask[j, k] = 1.0
 
+    sw = np.asarray(swap_times, dtype=float)
+    ri = np.clip(np.searchsorted(sw, point_times, side="right"), 1,
+                 max(sw.shape[0] - 1, 1))
+    ri0 = (ri - 1).astype(np.int64)
+    ri1 = ri.astype(np.int64)
+    dx = sw[ri1] - sw[ri0]
+    dx0 = np.abs(dx) <= np.spacing(np.finfo(np.float64).eps)
+    rc = np.where(dx0, 0.0,
+                  (point_times - sw[ri0]) / np.where(dx0, 1.0, dx))
+    lo = point_times < sw[0]
+    hi = point_times > sw[-1]
+    ri0[lo] = 0
+    ri1[lo] = 0
+    ri0[hi] = sw.shape[0] - 1
+    ri1[hi] = sw.shape[0] - 1
+    rc[lo | hi] = 0.0
+
     return OISBootstrapPlan(point_times=point_times, accs=accs,
                             prev_idx=prev_idx, pillar_idx=pillar_idx,
-                            swap_times=np.asarray(swap_times, dtype=float),
+                            swap_times=sw,
                             pillar_point=pillar_point,
                             prev_onehot=prev_onehot, depth=depth,
                             loglinear_rates=loglinear_rates,
-                            child_idx=child_idx, child_mask=child_mask)
+                            child_idx=child_idx, child_mask=child_mask,
+                            rate_i0=ri0.astype(np.int32),
+                            rate_i1=ri1.astype(np.int32), rate_c=rc)
 
 
 def bootstrap_ois(rates, plan: OISBootstrapPlan):
@@ -213,6 +241,19 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
     # branch's gradient is exactly zero, so no NaN leaks through AD)
     # and select linear-space interpolation whenever any pillar rate is
     # non-positive.
+    has_static = plan.rate_i0 is not None
+    if has_static:
+        # static-weight interpolation (see the plan-field comment): the
+        # same IEEE-f64 c as jnp.interp computes, combined with the
+        # same fp[i0] + c*df expression — only 2 gathers + 3 VPU ops in
+        # the traced graph instead of searchsorted + interp guards.
+        ri0 = jnp.asarray(plan.rate_i0)
+        ri1 = jnp.asarray(plan.rate_i1)
+        rc = jnp.asarray(plan.rate_c)
+
+        def interp_static(y):
+            y0 = y[ri0]
+            return y0 + rc * (y[ri1] - y0)
     if plan.loglinear_rates:
         # clamp floor must keep 1/safe**2 finite: second-order AD of
         # log(max(r, c)) materializes -1/safe^2 as a linearization
@@ -223,13 +264,18 @@ def bootstrap_ois(rates, plan: OISBootstrapPlan):
         # and only bites where log-linear rate interpolation is
         # numerically meaningless anyway.
         safe = jnp.maximum(rates, 1e-8)
-        log_interp = jnp.exp(jnp.interp(times, swap_times,
-                                        jnp.log(safe)))
-        lin_interp = jnp.interp(times, swap_times, rates)
+        if has_static:
+            log_interp = jnp.exp(interp_static(jnp.log(safe)))
+            lin_interp = interp_static(rates)
+        else:
+            log_interp = jnp.exp(jnp.interp(times, swap_times,
+                                            jnp.log(safe)))
+            lin_interp = jnp.interp(times, swap_times, rates)
         interp_rates = jnp.where(jnp.all(rates > 0.0), log_interp,
                                  lin_interp)
     else:
-        interp_rates = jnp.interp(times, swap_times, rates)
+        interp_rates = (interp_static(rates) if has_static
+                        else jnp.interp(times, swap_times, rates))
     point_rates = jnp.where(pillar_idx >= 0, rates[pillar_idx.clip(0)],
                             interp_rates)
 

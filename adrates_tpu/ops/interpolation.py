@@ -257,6 +257,92 @@ def simple_df(t, times, dfs, interp_type: InterpTypes):
 
 
 # ---------------------------------------------------------------------------
+# Static interpolation plans (compile-size control, round 5)
+# ---------------------------------------------------------------------------
+# Everywhere the batched curve stages interpolate, BOTH the query times
+# and the grid times are static (cashflow schedules and bootstrap node
+# times are fixed at trade-compile time; only the DFs are traced). The
+# dynamic simple_df path still pays searchsorted + the [T, N] exact-knot
+# distance matrix + jnp.interp's guards IN THE GRAPH — ~45 StableHLO ops
+# per call site, multiplied by every AD level of every stage trace. The
+# remote XLA:TPU service compiles these f64 programs at ~35-70 ops/s, so
+# those ops are COMPILE SECONDS. A static plan precomputes (i0, i1, c,
+# knot guard) in numpy once and leaves only gathers + 4 arithmetic ops
+# traced. Bitwise-identical to simple_df: c is the same IEEE-f64
+# delta/dx jnp.interp computes, combined with the same fp[i0] + c*df
+# expression, and the clamp/knot decisions are static rewrites of the
+# same branches.
+
+
+def simple_interp_plan(q, x, interp_type: InterpTypes) -> dict:
+    """Precompute the static gather/weight plan replicating
+    ``simple_df(q, x, d, interp_type)`` for STATIC q (queries) and x
+    (grid times): dict of numpy arrays consumed by
+    :func:`simple_df_static`. Only the three simple schemes."""
+    if interp_type not in _SIMPLE_SCHEMES:
+        raise LibError("simple_interp_plan: not a simple scheme "
+                       + str(interp_type))
+    q = np.asarray(q, np.float64)
+    x = np.asarray(x, np.float64)
+    n = x.shape[0]
+    tq = q + 1e-12                      # simple_df's nudge
+    i = np.clip(np.searchsorted(x, tq, side="right"), 1, n - 1)
+    i0 = (i - 1).astype(np.int64)
+    i1 = i.astype(np.int64)
+    dx = x[i1] - x[i0]
+    delta = tq - x[i0]
+    # jnp.interp's degenerate-interval guard, decided statically
+    eps = np.spacing(np.finfo(np.float64).eps)
+    dx0 = np.abs(dx) <= eps
+    c = np.where(dx0, 0.0, delta / np.where(dx0, 1.0, dx))
+    lo = tq < x[0]
+    hi = tq > x[-1]
+    i0[lo] = 0
+    i1[lo] = 0
+    i0[hi] = n - 1
+    i1[hi] = n - 1
+    c[lo | hi] = 0.0
+    # exact-knot guard on the UN-nudged query (simple_df semantics)
+    dist = np.abs(q[:, None] - x[None, :])
+    knot_idx = np.argmin(dist, axis=1).astype(np.int64)
+    at_knot = dist[np.arange(q.shape[0]), knot_idx] < 1e-10
+    plan = dict(i0=i0.astype(np.int32), i1=i1.astype(np.int32), c=c,
+                knot_idx=knot_idx.astype(np.int32), at_knot=at_knot,
+                q=q)
+    if interp_type == InterpTypes.LINEAR_ZERO_RATES:
+        # r = -log(d)/x_safe with the t=0 node's rate patched to its
+        # neighbour — as a static index remap (r[0] is only ever READ
+        # through the gathers below)
+        if x[0] == 0.0:
+            plan["i0"] = np.where(plan["i0"] == 0, 1,
+                                  plan["i0"]).astype(np.int32)
+            plan["i1"] = np.where(plan["i1"] == 0, 1,
+                                  plan["i1"]).astype(np.int32)
+        plan["x_safe"] = np.maximum(x, 1e-15)
+    return plan
+
+
+def simple_df_static(plan: dict, dfs, interp_type: InterpTypes):
+    """Evaluate a :func:`simple_interp_plan` against traced ``dfs``:
+    gathers + a handful of fused VPU ops, no searchsorted, no distance
+    matrix. Returns the same values as ``simple_df(q, x, dfs)``."""
+    d = jnp.asarray(dfs)
+    i0, i1, c = plan["i0"], plan["i1"], plan["c"]
+    if interp_type == InterpTypes.LINEAR_FWD_RATES:
+        y0 = d[i0]
+        val = y0 + c * (d[i1] - y0)
+    elif interp_type == InterpTypes.FLAT_FWD_RATES:
+        rt = -jnp.log(d)
+        y0 = rt[i0]
+        val = jnp.exp(-(y0 + c * (rt[i1] - y0)))
+    else:                               # LINEAR_ZERO_RATES
+        r = -jnp.log(d) / plan["x_safe"]
+        y0 = r[i0]
+        val = jnp.exp(-(y0 + c * (r[i1] - y0)) * plan["q"])
+    return lax.select(plan["at_knot"], d[plan["knot_idx"]], val)
+
+
+# ---------------------------------------------------------------------------
 # Unified fit + eval
 # ---------------------------------------------------------------------------
 

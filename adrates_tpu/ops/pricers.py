@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.global_types import InterpTypes
-from .interpolation import interp_df
+from .interpolation import interp_df, simple_df_static
 
 
 @jax.tree_util.register_dataclass
@@ -102,11 +102,17 @@ def pv_fixed_leg(dfs, times, interp_type: InterpTypes,
 def pv_float_leg(dfs, times, disc_interp_type: InterpTypes,
                  leg: FloatLegTensor,
                  idx_dfs=None, idx_times=None,
-                 idx_interp_type: InterpTypes = None):
+                 idx_interp_type: InterpTypes = None,
+                 plans: Optional[dict] = None):
     """PV of a floating leg: forwards projected off the index curve,
     discounted on the discount curve. Engine parity: engine.py:2639-2728
     (dual-curve support, 0-accrual guard, first-fixing override on flow 0,
     past-payment mask with >=, optional principal and notional exchanges).
+
+    ``plans``: optional dict(idx=..., disc=...) of static interp plans
+    (ops.interpolation.simple_interp_plan over the SAME query orders
+    built below) — compile-size control for call sites whose schedule
+    and grid times are static (the batched XCCY calibration legs).
     """
     idx_dfs = dfs if idx_dfs is None else idx_dfs
     idx_times = times if idx_times is None else idx_times
@@ -114,19 +120,24 @@ def pv_float_leg(dfs, times, disc_interp_type: InterpTypes,
 
     n = leg.payment_times.shape[0]
 
-    # One batched query per curve (TPU f64: no 1-element queries, and a
-    # single fused searchsorted+gather per curve is the fast path).
-    idx_q = jnp.concatenate([leg.start_times, leg.end_times])
-    idx_out = interp_df(idx_q, idx_times, idx_dfs, idx_it)
+    if plans is not None:
+        idx_out = simple_df_static(plans["idx"], idx_dfs, idx_it)
+        disc_out = simple_df_static(plans["disc"], dfs, disc_interp_type)
+    else:
+        # One batched query per curve (TPU f64: no 1-element queries,
+        # and a single fused searchsorted+gather per curve is the fast
+        # path).
+        idx_q = jnp.concatenate([leg.start_times, leg.end_times])
+        idx_out = interp_df(idx_q, idx_times, idx_dfs, idx_it)
+
+        extra = [jnp.atleast_1d(leg.value_time)]
+        if leg.notional_exchange:
+            extra.append(jnp.atleast_1d(leg.effective_time))
+            extra.append(jnp.atleast_1d(leg.maturity_time))
+        disc_q = jnp.concatenate([leg.payment_times] + extra)
+        disc_out = interp_df(disc_q, times, dfs, disc_interp_type)
     df_start = idx_out[:n]
     df_end = idx_out[n:]
-
-    extra = [jnp.atleast_1d(leg.value_time)]
-    if leg.notional_exchange:
-        extra.append(jnp.atleast_1d(leg.effective_time))
-        extra.append(jnp.atleast_1d(leg.maturity_time))
-    disc_q = jnp.concatenate([leg.payment_times] + extra)
-    disc_out = interp_df(disc_q, times, dfs, disc_interp_type)
     df_pmts = disc_out[:n]
     df_val = disc_out[n]
 

@@ -76,7 +76,8 @@ class XccyBootstrapPlan:
 
 
 def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,
-                   plan: XccyBootstrapPlan, foreign_interp_type=None):
+                   plan: XccyBootstrapPlan, foreign_interp_type=None,
+                   foreign_plan=None):
     """Solve the XCCY curve: (times, dfs) with the t=0 node prepended.
 
     spreads:     [S] pillar basis spreads (decimal)
@@ -88,6 +89,11 @@ def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,
         EVERY scheme (the reference hardcodes log-linear,
         xccy_curve.py:995-1000, which only matches FLAT_FWD curves).
         None falls back to the reference's log-linear behavior.
+    foreign_plan: optional static interp plan
+        (ops.interpolation.simple_interp_plan over
+        concat(start_t, end_t, pay_t_foreign) x foreign_times) — the
+        batched stage path's compile-size control; requires a simple
+        foreign scheme.
     """
     spreads = jnp.asarray(spreads)
     pv_dom = jnp.asarray(pv_dom)
@@ -100,7 +106,13 @@ def bootstrap_xccy(spreads, pv_dom, foreign_times, foreign_dfs, spot_fx,
     is_last = jnp.asarray(plan.is_last)
     is_mat = jnp.asarray(plan.is_mat)
 
-    if foreign_interp_type is None:
+    if foreign_plan is not None:
+        from .interpolation import simple_df_static
+        n = plan.start_t.shape[0]
+        out = simple_df_static(foreign_plan, foreign_dfs,
+                               foreign_interp_type)
+        df_s, df_e, df_pay_ois = out[:n], out[n:2 * n], out[2 * n:]
+    elif foreign_interp_type is None:
         log_fdfs = jnp.log(foreign_dfs)
         df_s = jnp.exp(jnp.interp(jnp.asarray(plan.start_t), foreign_times,
                                   log_fdfs))

@@ -38,7 +38,7 @@ inflation_curve.py:246-301 (all /root/reference/cavour).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import dataclasses
 
@@ -48,7 +48,8 @@ import numpy as np
 from jax import lax
 
 from ..ops.bootstrap import OISBootstrapPlan, bootstrap_ois
-from ..ops.interpolation import interp_df, interp_fit, simple_df
+from ..ops.interpolation import (interp_df, interp_fit, simple_df,
+                                 simple_df_static, simple_interp_plan)
 from ..ops.pricers import FloatLegTensor, pv_float_leg
 from ..ops.xccy_bootstrap import XccyBootstrapPlan, bootstrap_xccy
 from ..utils.global_types import InterpTypes
@@ -119,7 +120,11 @@ def _stack_ois_plans(plans: Sequence[OISBootstrapPlan]) -> OISBootstrapPlan:
         prev_onehot=onehot,
         depth=max(p.depth for p in plans),
         loglinear_rates=plans[0].loglinear_rates,
-        child_idx=child_idx, child_mask=child_mask)
+        child_idx=child_idx, child_mask=child_mask,
+        # pad rows read rates[0] with weight c=0 — their interp value
+        # is unused (acc=0 rows solve to df=1 regardless)
+        rate_i0=f("rate_i0", 0), rate_i1=f("rate_i1", 0),
+        rate_c=f("rate_c", 0.0))
 
 
 def _stack_xccy_plans(plans: Sequence[XccyBootstrapPlan]
@@ -264,6 +269,18 @@ def xccy_legs_pv(dom_ds, b, st: _Stage):
     exploits: dom-quote directions compose through these S values
     instead of re-differentiating the whole stage)."""
     d_it = st.dom_interp
+    lp = b.get("legs_plan")
+    if lp is not None:
+        # static-weight interp (the leg schedules and dom grids are
+        # both static) — no searchsorted/knot-matrix in the trace
+        def one_curve(dts, dds, lts, ip, dp):
+            return jax.vmap(
+                lambda lt, i_, d_: pv_float_leg(
+                    dds, dts, d_it, lt,
+                    plans=dict(idx=i_, disc=d_)))(lts, ip, dp)
+
+        return jax.vmap(one_curve)(b["dom_ts"], dom_ds, b["legs"],
+                                   lp["idx"], lp["disc"])
 
     def one_curve(dts, dds, lts):
         return jax.vmap(
@@ -275,10 +292,17 @@ def xccy_legs_pv(dom_ds, b, st: _Stage):
 def xccy_boot_ds(spreads, pv_dom, for_ds, b, st: _Stage):
     """[G, S] spreads + dom-leg PVs + stacked foreign grids ->
     sentinelized native dfs [G, U1]."""
-    _, ds = jax.vmap(
-        bootstrap_xccy, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            spreads, pv_dom, b["for_ts"], for_ds,
-            b["spot_fx"], b["plan"], st.foreign_interp)
+    fp = b.get("fboot_plan")
+    if fp is not None:
+        _, ds = jax.vmap(
+            bootstrap_xccy, in_axes=(0, 0, 0, 0, 0, 0, None, 0))(
+                spreads, pv_dom, b["for_ts"], for_ds,
+                b["spot_fx"], b["plan"], st.foreign_interp, fp)
+    else:
+        _, ds = jax.vmap(
+            bootstrap_xccy, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                spreads, pv_dom, b["for_ts"], for_ds,
+                b["spot_fx"], b["plan"], st.foreign_interp)
     return jnp.where(b["pad_mask"], 1.0, ds)
 
 
@@ -293,11 +317,18 @@ def xccy_native_ds(spreads, dom_ds, for_ds, b, st: _Stage):
     return xccy_boot_ds(spreads, pv_dom, for_ds, b, st)
 
 
-def stage_rows(ut, ts_static, ds, its: Sequence[InterpTypes]):
+def stage_rows(ut, ts_static, ds, its: Sequence[InterpTypes],
+               plan: Optional[dict] = None):
     """Interpolate a stage's [G, P1] native grids onto the shared query
     times: [G, U]. Same-SIMPLE-scheme members batch through one vmapped
     simple_df; spline members evaluate per curve (identical kernels to
-    grids()' cross-stage batching, so values agree bitwise)."""
+    grids()' cross-stage batching, so values agree bitwise).
+
+    ``plan`` (build_batched_grids' bat[key]["row_plan"]) replaces the
+    simple-scheme path with static-weight gathers — the query AND grid
+    times are static, so searchsorted + the [U, P1] exact-knot distance
+    matrix need not be traced (they multiply through every AD level of
+    every stage trace; compile seconds track traced op count)."""
     G = ds.shape[0]
     rows: List = [None] * G
     by_scheme: Dict[InterpTypes, List[int]] = {}
@@ -309,20 +340,60 @@ def stage_rows(ut, ts_static, ds, its: Sequence[InterpTypes]):
             aux = interp_fit(t, ds[m], it)
             rows[m] = interp_df(ut, t, ds[m], it, aux)
     for it, mids in by_scheme.items():
-        out = jax.vmap(
-            lambda t, d, it=it: simple_df(ut, t, d, it))(
-                jnp.asarray(ts_static[np.asarray(mids)]), ds[mids, :])
+        if plan is not None and it.name in plan:
+            out = jax.vmap(
+                lambda p, d, it=it: simple_df_static(p, d, it))(
+                    plan[it.name], ds[mids, :])
+        else:
+            out = jax.vmap(
+                lambda t, d, it=it: simple_df(ut, t, d, it))(
+                    jnp.asarray(ts_static[np.asarray(mids)]), ds[mids, :])
         for k, m in enumerate(mids):
             rows[m] = out[k]
     return jnp.stack(rows)
 
 
-def build_batched_grids(basket, unique_times: np.ndarray):
+def _stack_plans(plans: Sequence[dict]) -> dict:
+    """Stack per-member simple_interp_plan dicts along a leading axis."""
+    return {k: np.stack([p[k] for p in plans]) for k in plans[0]}
+
+
+def _row_plan(ut: np.ndarray, ts_static: np.ndarray,
+              its: Sequence[InterpTypes]) -> dict:
+    """Per-scheme stacked static plans for stage_rows, keyed by scheme
+    name in the SAME member grouping stage_rows derives from ``its``."""
+    by_scheme: Dict[InterpTypes, List[int]] = {}
+    for m, it in enumerate(its):
+        if it in _SIMPLE:
+            by_scheme.setdefault(it, []).append(m)
+    return {it.name: _stack_plans(
+        [simple_interp_plan(ut, ts_static[m], it) for m in mids])
+        for it, mids in by_scheme.items()}
+
+
+def build_batched_grids(basket, unique_times: np.ndarray,
+                        stage_buckets: str = "fine"):
     """Build the batched quotes->[C*U] grids function for a CurveBasket.
 
     Returns (grids_fn, bat_params). ``bat_params`` must be merged into
     basket.params under key "bat"; grids_fn(qvec, P) reads P["bat"].
+
+    ``stage_buckets``: "fine" buckets OIS plan shapes at (quotes/8,
+    points/32) — minimal tangent padding; "coarse" at (quotes/32,
+    points/256) — mixed-pillar-count models (e.g. the flagship's
+    32-pillar majors + 12-pillar minors) merge into ONE vmapped OIS
+    stage, which removes a whole stage subgraph from EVERY risk-program
+    trace (the remote XLA:TPU service compiles ~35-70 ops/s, so each
+    duplicated stage trace is tens of cold-start seconds) at the price
+    of padded per-member tangent directions at runtime.
     """
+    if stage_buckets == "coarse":
+        qb, pb = 32, 256
+    elif stage_buckets == "fine":
+        qb, pb = 8, 32
+    else:
+        raise ValueError(f"stage_buckets must be 'fine' or 'coarse', "
+                         f"got {stage_buckets!r}")
     specs = basket.specs
     C = len(specs)
     bat: Dict[str, dict] = {}
@@ -347,8 +418,8 @@ def build_batched_grids(basket, unique_times: np.ndarray):
     for i in ois_ids:
         p = ois_plan_of[i]
         key = (p.loglinear_rates,
-               -(-p.swap_times.shape[0] // 8),
-               -(-p.point_times.shape[0] // 32))
+               -(-p.swap_times.shape[0] // qb),
+               -(-p.point_times.shape[0] // pb))
         groups.setdefault(key, []).append(i)
     for gk, ids in groups.items():
         plans = [ois_plan_of[i] for i in ids]
@@ -361,13 +432,16 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         sent = np.tile(_sent(0, P1), (len(ids), 1))
         ts_full = np.concatenate(
             [np.zeros((len(ids), 1)), plan.point_times], axis=1)
+        ts_static = np.where(pad_mask, sent, ts_full)
         bat[key] = dict(
             plan=plan,
             qidx=np.stack([_qidx(specs[i], plan.swap_times.shape[1])
                            for i in ids]),
             pad_mask=pad_mask,
             sent=sent,
-            ts_static=np.where(pad_mask, sent, ts_full))
+            ts_static=ts_static,
+            row_plan=_row_plan(unique_times, ts_static,
+                               [specs[i].interp_type for i in ids]))
         stages.append(_Stage(kind="ois", ids=list(ids), key=key))
 
     # ---- group XCCY curves ------------------------------------------
@@ -399,6 +473,7 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         ts_full = np.stack([
             np.concatenate([[0.0], plan.times[g][plan.unique_sel[g]]])
             for g in range(len(ids))])
+        ts_static = np.where(pad_mask, sent, ts_full)
         bat[key] = dict(
             plan=plan,
             legs=_stack_legs([xp_of[i]["dom_legs"] for i in ids]),
@@ -408,7 +483,9 @@ def build_batched_grids(basket, unique_times: np.ndarray):
                            for i in ids]),
             pad_mask=pad_mask,
             sent=sent,
-            ts_static=np.where(pad_mask, sent, ts_full))
+            ts_static=ts_static,
+            row_plan=_row_plan(unique_times, ts_static,
+                               [specs[i].interp_type for i in ids]))
         stages.append(_Stage(
             kind="xccy", ids=list(ids), key=key,
             dom_ids=[specs[i].dom_id for i in ids],
@@ -436,12 +513,15 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         sent = np.tile(_sent(0, Q + 1), (len(infl_ids), 1))
         ts_full = np.concatenate(
             [np.zeros((len(infl_ids), 1)), np.stack(sts)], axis=1)
+        ts_static = np.where(pad_mask, sent, ts_full)
         bat["infl"] = dict(
             swap_times=np.stack(sts),
             qidx=np.stack([_qidx(specs[i], Q) for i in infl_ids]),
             pad_mask=pad_mask,
             sent=sent,
-            ts_static=np.where(pad_mask, sent, ts_full))
+            ts_static=ts_static,
+            row_plan=_row_plan(unique_times, ts_static,
+                               [specs[i].interp_type for i in infl_ids]))
         stages.append(_Stage(kind="infl", ids=list(infl_ids), key="infl"))
 
     # ---- static parent time grids for the XCCY stages (the structured
@@ -464,8 +544,66 @@ def build_batched_grids(basket, unique_times: np.ndarray):
         if st.kind == "xccy":
             bat[st.key]["dom_ts"] = _stack_static_ts(st.dom_ids)
             bat[st.key]["for_ts"] = _stack_static_ts(st.for_ids)
+            b = bat[st.key]
+            # static foreign-curve interp plan for the bootstrap's
+            # cashflow queries (query times AND the stacked parent
+            # grids are static; simple foreign schemes only)
+            if st.foreign_interp in _SIMPLE:
+                xp = b["plan"]
+                b["fboot_plan"] = _stack_plans([
+                    simple_interp_plan(
+                        np.concatenate([xp.start_t[g], xp.end_t[g],
+                                        xp.pay_t_foreign[g]]),
+                        b["for_ts"][g], st.foreign_interp)
+                    for g in range(len(st.ids))])
+            # static interp plans for the calibration domestic legs
+            # (pv_float_leg's two interp calls, same query order)
+            if st.dom_interp in _SIMPLE:
+                legs = b["legs"]
+                dts = b["dom_ts"]
+                idx_p, disc_p = [], []
+                for g in range(len(st.ids)):
+                    ip_row, dp_row = [], []
+                    for s in range(legs.payment_times.shape[1]):
+                        idx_q = np.concatenate(
+                            [legs.start_times[g, s],
+                             legs.end_times[g, s]])
+                        extra = [np.atleast_1d(legs.value_time[g, s])]
+                        if legs.notional_exchange:
+                            extra.append(np.atleast_1d(
+                                legs.effective_time[g, s]))
+                            extra.append(np.atleast_1d(
+                                legs.maturity_time[g, s]))
+                        disc_q = np.concatenate(
+                            [legs.payment_times[g, s]] + extra)
+                        ip_row.append(simple_interp_plan(
+                            idx_q, dts[g], st.dom_interp))
+                        dp_row.append(simple_interp_plan(
+                            disc_q, dts[g], st.dom_interp))
+                    idx_p.append(_stack_plans(ip_row))
+                    disc_p.append(_stack_plans(dp_row))
+                b["legs_plan"] = dict(
+                    idx={k: np.stack([p[k] for p in idx_p])
+                         for k in idx_p[0]},
+                    disc={k: np.stack([p[k] for p in disc_p])
+                          for k in disc_p[0]})
 
     interp_of = {i: specs[i].interp_type for i in range(C)}
+
+    # static cross-stage interp plans for grids()' final assembly: same
+    # scheme grouping and same padded member stacking as _stack_native,
+    # so the runtime path is stacked gathers instead of searchsorted
+    gplan: Dict[str, dict] = {}
+    by_scheme_all: Dict[InterpTypes, List[int]] = {}
+    for i in range(C):
+        if interp_of[i] in _SIMPLE:
+            by_scheme_all.setdefault(interp_of[i], []).append(i)
+    for it, ids_ in by_scheme_all.items():
+        stacked_ts = _stack_static_ts(ids_)
+        gplan[it.name] = _stack_plans([
+            simple_interp_plan(unique_times, stacked_ts[g], it)
+            for g in range(len(ids_))])
+    bat["gplan"] = gplan
 
     def grids(qvec, P):
         # query times come from params, never the closure: f64 closure
@@ -548,10 +686,16 @@ def build_batched_grids(basket, unique_times: np.ndarray):
                 t, d = native[i]
                 aux = interp_fit(t, d, it)
                 rows[i] = interp_df(ut, t, d, it, aux)
+        gp = B.get("gplan", {})
         for it, ids in by_scheme.items():
             ts, ds = _stack_native(ids)
-            out = jax.vmap(
-                lambda t, d, it=it: simple_df(ut, t, d, it))(ts, ds)
+            if it.name in gp:
+                out = jax.vmap(
+                    lambda p, d, it=it: simple_df_static(p, d, it))(
+                        gp[it.name], ds)
+            else:
+                out = jax.vmap(
+                    lambda t, d, it=it: simple_df(ut, t, d, it))(ts, ds)
             for g, cid in enumerate(ids):
                 rows[cid] = out[g]
 

@@ -270,7 +270,8 @@ class CurveBasket:
             return grids
         return native
 
-    def grids_fn(self, unique_times, batch_curves: bool = True):
+    def grids_fn(self, unique_times, batch_curves: bool = True,
+                 stage_buckets: str = "fine"):
         """Pure fn (qvec, params) -> flat [C*U] DF vector: every curve
         interpolated over the shared unique-time grid, rows concatenated
         in curve-id order (global index = curve_id * U + time_idx).
@@ -280,11 +281,19 @@ class CurveBasket:
         one unrolled subgraph per curve — ~3x fewer HLO ops, which is
         what bounds XLA:TPU compile time of the risk programs (see
         parallel/curve_batching.py). Results match the unbatched path
-        to f64 noise (test_curve_batching.py)."""
+        to f64 noise (test_curve_batching.py).
+
+        ``stage_buckets``: OIS shape-bucket coarseness — "fine"
+        (default: quotes to multiples of 8) keeps tangent padding
+        minimal; "coarse" (quotes to 32, points to 256) merges
+        mixed-pillar-count models into fewer vmapped stages, trading
+        padded per-member tangent work for fewer stage TRACES in every
+        risk program (cold-compile control; see curve_batching.py)."""
         ut = np.asarray(unique_times)
         if batch_curves:
             from .curve_batching import build_batched_grids
-            grids, bat, stages = build_batched_grids(self, ut)
+            grids, bat, stages = build_batched_grids(
+                self, ut, stage_buckets=stage_buckets)
             self.params = dict(self.params, unique_times=ut, bat=bat)
             self._stages = stages
             return grids
@@ -818,7 +827,8 @@ def compile_multibook(instruments, model,
                       n_buckets: int = 4,
                       recalibrate_xccy: bool = True,
                       collateral_types: Optional[Sequence] = None,
-                      batch_curves: bool = True
+                      batch_curves: bool = True,
+                      stage_buckets: str = "fine"
                       ) -> MultiBook:
     """Compile a heterogeneous multi-currency book against a Model.
 
@@ -828,6 +838,9 @@ def compile_multibook(instruments, model,
     ``collateral_types``: optional per-trade CollateralType list (None
     entries = natural collateral). An OIS whose collateral currency
     differs from its own discounts on the {CCY}_{COLL}_XCCY curve.
+
+    ``stage_buckets``: "fine" (default) or "coarse" — OIS stage-group
+    shape-bucket coarseness, see CurveBasket.grids_fn.
     """
     from ..utils.observability import timed
 
@@ -950,7 +963,8 @@ def compile_multibook(instruments, model,
     agg = _aggregate(buckets, basket.n_curves * U)
     cols = _build_cols(buckets, agg, basket.n_curves * U, n_buckets)
     basket.grids = basket.grids_fn(unique_times,
-                                   batch_curves=batch_curves)
+                                   batch_curves=batch_curves,
+                                   stage_buckets=stage_buckets)
 
     return MultiBook(basket=basket, unique_times=unique_times,
                      buckets=tuple(buckets), clamp=clamp, aggregate=agg,

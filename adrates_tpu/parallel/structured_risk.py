@@ -230,7 +230,8 @@ def make_structured_parts(basket):
             def fwd(r, b=b, st=st, si=si):
                 ds = (ois_native_ds(r, b) if st.kind == "ois"
                       else infl_native_ds(r, b))
-                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                 return ds, rows
 
             (ds, rows), jvp = jax.linearize(fwd, q_local)
@@ -271,7 +272,8 @@ def make_structured_parts(basket):
                 def fwd(sp, b=b, st=st, si=si, dom_ds=dom_ds,
                         for_ds=for_ds):
                     ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
-                    rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                    rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                     return ds, rows
 
                 (ds, rows), jvp = jax.linearize(fwd, spreads)
@@ -306,7 +308,8 @@ def make_structured_parts(basket):
             # --- boot sub-stage over (spreads, pv, foreign grids) ----
             def boot_fn(sp, pv, fd, b=b, st=st, si=si):
                 ds = xccy_boot_ds(sp, pv, fd, b, st)
-                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                 return ds, rows
 
             (ds, rows), jvp_boot = jax.linearize(boot_fn, spreads, pv0,
@@ -396,7 +399,8 @@ def make_structured_parts(basket):
                 def s_plain(sp, b=b, st=st, si=si, g_stage=g_stage,
                             dom_ds=xs["dom_ds"], for_ds=xs["for_ds"]):
                     ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
-                    rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                    rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                     return jnp.vdot(g_stage, rows)
 
                 gfun = jax.grad(s_plain)
@@ -414,7 +418,8 @@ def make_structured_parts(basket):
 
             def boot_fn(sp, pv, fd, b=b, st=st, si=si):
                 ds = xccy_boot_ds(sp, pv, fd, b, st)
-                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                 return ds, rows
 
             sp0, pv0, fd0 = spreads, xs["pv0"], xs["for_ds"]
@@ -425,13 +430,54 @@ def make_structured_parts(basket):
                 _, rows = boot_fn(sp, pv, fd)
                 return jnp.vdot(g_stage, rows)
 
-            # cotangents at the primal: w_pv routes to the legs' own
-            # hessian AND (via the legs vjp) to the dom parent's native
-            # cotangent; gf routes to the foreign parent directly.
-            gb, gpv, gf = jax.grad(s_boot, argnums=(0, 1, 2))(
-                sp0, pv0, fd0)
-            _, legs_vjp = jax.vjp(legs_fn, xs["dom_ds"])
-            gdd = legs_vjp(gpv)[0]                         # [G, Ld]
+            # boot-stage hessian over (basis, pv, composed-foreign)
+            # dirs. fd enters as a SECOND primal so the linearize
+            # PRIMAL yields both gZ = [gb | gpv | composed-f] and the
+            # native-foreign cotangent gf in one fwd+bwd trace — the
+            # former separate jax.grad(s_boot, argnums=(0,1,2)) trace
+            # duplicated the whole bootstrap graph purely to recover
+            # gradients the linearize already computes (compile-size
+            # control: traced ops are compile seconds on the remote
+            # TPU service).
+            def s_hat(Z, fd, sp0=sp0, pv0=pv0, tf2=tf2, S=S):
+                sp2 = sp0 + Z[:, :S]
+                pv2 = pv0 + Z[:, S:2 * S]
+                fd2 = fd + jnp.einsum("gd,dgl->gl", Z, tf2)
+                return s_boot(sp2, pv2, fd2)
+
+            D2 = 2 * S + Qf
+            gfun = jax.grad(s_hat, argnums=(0, 1))
+            (gZ0, gf), jvp2 = jax.linearize(
+                gfun, jnp.zeros((G, D2), dt), fd0)
+            gpv = gZ0[:, S:2 * S]
+            seeds = jnp.broadcast_to(
+                jnp.eye(D2, dtype=dt)[:, None, :], (D2, G, D2))
+            zfd = jnp.zeros_like(fd0)
+            Hx2 = jax.vmap(lambda s: jvp2(s, zfd)[0])(seeds)
+            # [D2, G, D2]; the unused d(gf) output is DCE'd at lowering
+
+            # legs-stage hessian over dom-quote dirs (legs only):
+            # sum_s gpv_s d2 pv_s / dq_dom2. dom_ds enters as a second
+            # primal so the primal gradient IS the legs vjp cotangent
+            # gdd — again one trace instead of two.
+            gpv0 = jax.lax.stop_gradient(gpv)
+
+            def s_legs(Zd, dd, gpv0=gpv0, td_legs=td_legs,
+                       legs_fn=legs_fn):
+                dd2 = dd + jnp.einsum("gd,dgl->gl", Zd, td_legs)
+                return jnp.vdot(gpv0, legs_fn(dd2))
+
+            gfun_l = jax.grad(s_legs, argnums=(0, 1))
+            (_, gdd), jvp2_l = jax.linearize(
+                gfun_l, jnp.zeros((G, Qd), dt), xs["dom_ds"])
+            seeds_l = jnp.broadcast_to(
+                jnp.eye(Qd, dtype=dt)[:, None, :], (Qd, G, Qd))
+            zdd = jnp.zeros_like(xs["dom_ds"])
+            Hl = jax.vmap(lambda s: jvp2_l(s, zdd)[0])(seeds_l)
+            # [Qd, G, Qd]
+
+            # cotangents at the primal: gdd routes to the dom parent's
+            # native grid, gf to the foreign parent directly.
             for mi in range(G):
                 p = m["parents"][mi]
                 for cid_par, cot, p1 in (
@@ -441,35 +487,6 @@ def make_structured_parts(basket):
                     add = cot[mi, :p1]
                     v_of[str(cid_par)] = (add if prev is None
                                           else prev + add)
-
-            # boot-stage hessian over (basis, pv, composed-foreign) dirs
-            def s_hat(Z, sp0=sp0, pv0=pv0, fd0=fd0, tf2=tf2, S=S):
-                sp2 = sp0 + Z[:, :S]
-                pv2 = pv0 + Z[:, S:2 * S]
-                fd2 = fd0 + jnp.einsum("gd,dgl->gl", Z, tf2)
-                return s_boot(sp2, pv2, fd2)
-
-            D2 = 2 * S + Qf
-            gfun = jax.grad(s_hat)
-            _, jvp2 = jax.linearize(gfun, jnp.zeros((G, D2), dt))
-            seeds = jnp.broadcast_to(
-                jnp.eye(D2, dtype=dt)[:, None, :], (D2, G, D2))
-            Hx2 = jax.vmap(jvp2)(seeds)                    # [D2, G, D2]
-
-            # legs-stage hessian over dom-quote dirs (legs only):
-            # sum_s gpv_s d2 pv_s / dq_dom2
-            gpv0 = jax.lax.stop_gradient(gpv)
-
-            def s_legs(Zd, gpv0=gpv0, td_legs=td_legs,
-                       dom_ds=xs["dom_ds"], legs_fn=legs_fn):
-                dd2 = dom_ds + jnp.einsum("gd,dgl->gl", Zd, td_legs)
-                return jnp.vdot(gpv0, legs_fn(dd2))
-
-            gfun_l = jax.grad(s_legs)
-            _, jvp2_l = jax.linearize(gfun_l, jnp.zeros((G, Qd), dt))
-            seeds_l = jnp.broadcast_to(
-                jnp.eye(Qd, dtype=dt)[:, None, :], (Qd, G, Qd))
-            Hl = jax.vmap(jvp2_l)(seeds_l)                 # [Qd, G, Qd]
 
             # transform boot hessian to quote space per member and place
             for mi, cid in enumerate(st.ids):
@@ -521,7 +538,8 @@ def make_structured_parts(basket):
             def fwd(r, b=b, st=st, si=si):
                 ds = (ois_native_ds(r, b) if st.kind == "ois"
                       else infl_native_ds(r, b))
-                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                 return ds, rows
 
             def psi(r, fwd=fwd, g_stage=g_stage, v_stage=v_stage):
@@ -717,7 +735,8 @@ def make_pertrade_curvehess(basket, restrict=None):
             def fwd(r, b=b, st=st, si=si):
                 ds = (ois_native_ds(r, b) if st.kind == "ois"
                       else infl_native_ds(r, b))
-                rows = stage_rows(ut, b["ts_static"], ds, its_of[si])
+                rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
                 return ds, rows
 
             fwd_of[si] = fwd
@@ -771,7 +790,7 @@ def make_pertrade_curvehess(basket, restrict=None):
                          for_ds=for_ds):
                     ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
                     return stage_rows(ut, b["ts_static"], ds,
-                                      its_of[si])
+                                      its_of[si], b.get("row_plan"))
 
                 seeds = jnp.broadcast_to(
                     jnp.eye(S, dtype=dt)[:, None, :], (S, Gm, S))
@@ -822,7 +841,8 @@ def make_pertrade_curvehess(basket, restrict=None):
                 pv2 = pv0 + Z[:, S:2 * S]
                 fd2 = for_ds + jnp.einsum("gd,dgl->gl", Z, tf2)
                 ds = xccy_boot_ds(sp2, pv2, fd2, b, st)
-                return stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
 
             Z0 = jnp.zeros((Gm, D2), dt)
             rows0, jvp_boot = jax.linearize(boot_z, Z0)
@@ -835,7 +855,8 @@ def make_pertrade_curvehess(basket, restrict=None):
             def boot_fd(fd, b=b, st=st, si=si, spreads=spreads,
                         pv0=pv0):
                 ds = xccy_boot_ds(spreads, pv0, fd, b, st)
-                return stage_rows(ut, b["ts_static"], ds, its_of[si])
+                return stage_rows(ut, b["ts_static"], ds, its_of[si],
+                                  b.get("row_plan"))
 
             _, jvp_fd = jax.linearize(boot_fd, for_ds)
             eyeLf = jnp.broadcast_to(

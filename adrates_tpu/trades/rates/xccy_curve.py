@@ -79,6 +79,7 @@ class XccyCurve(DiscountCurve):
                    interp=interp_type.name), on_build_device():
             self._plan = self._prepare_plan()
             self._pv_domestic = self._domestic_leg_pvs()
+            self._fplan = self._foreign_plan()
 
             times, dfs = _bootstrap_xccy_jit(
                 jnp.asarray(self.basis_spreads),
@@ -86,7 +87,8 @@ class XccyCurve(DiscountCurve):
                 jnp.asarray(self._foreign_curve._times),
                 jnp.asarray(self._foreign_curve._dfs),
                 self._spot_fx, self._plan,
-                foreign_interp_type=self._foreign_curve._interp_type)
+                foreign_interp_type=self._foreign_curve._interp_type,
+                foreign_plan=self._fplan)
             self._times = times
             self._dfs = dfs
             self._repr_dfs = dfs
@@ -232,6 +234,23 @@ class XccyCurve(DiscountCurve):
 
     # ------------------------------------------------------------------
 
+    def _foreign_plan(self):
+        """Static-weight interp plan for the bootstrap's foreign-curve
+        queries (the schedule AND the parent grid times are fixed once
+        the curve set exists) — compile-size control for the build and
+        jacobian kernels; None for fitted foreign schemes."""
+        from ...ops.interpolation import (_SIMPLE_SCHEMES,
+                                          simple_interp_plan)
+
+        it = self._foreign_curve._interp_type
+        if it not in _SIMPLE_SCHEMES:
+            return None
+        q = np.concatenate([np.asarray(self._plan.start_t),
+                            np.asarray(self._plan.end_t),
+                            np.asarray(self._plan.pay_t_foreign)])
+        return simple_interp_plan(
+            q, np.asarray(self._foreign_curve._times), it)
+
     def _dfs_from(self, spreads, foreign_dfs, consts=None):
         """XCCY node DFs as a function of (spreads, foreign grid DFs).
 
@@ -243,13 +262,15 @@ class XccyCurve(DiscountCurve):
         _, dfs = bootstrap_xccy(
             spreads, consts["pv_dom"], consts["for_times"], foreign_dfs,
             self._spot_fx, consts["plan"],
-            foreign_interp_type=self._foreign_curve._interp_type)
+            foreign_interp_type=self._foreign_curve._interp_type,
+            foreign_plan=consts.get("fplan"))
         return dfs
 
     def _jac_consts(self):
         return dict(pv_dom=jnp.asarray(self._pv_domestic),
                     for_times=jnp.asarray(self._foreign_curve._times),
-                    plan=self._plan)
+                    plan=self._plan,
+                    fplan=getattr(self, "_fplan", None))
 
     def _compute_jacobians(self):
         """Reference-parity sensitivity tensors of the node DFs — LAZY:

@@ -95,6 +95,52 @@ class TestBatchedGridsParity:
         r2 = np.asarray(jax.jit(f_bat)(q0))
         np.testing.assert_allclose(r2, r1, rtol=1e-13, atol=0.0)
 
+    def test_coarse_buckets_identical(self):
+        """stage_buckets='coarse' merges mixed-pillar OIS curves into
+        one padded stage (here 10-pillar + 4-pillar, which FINE buckets
+        keep apart); values, jacobian and a term2-shaped hessian
+        contraction must match the fine-bucket graph to f64 noise (the
+        merge changes only padding, never the math)."""
+        m = Model(VALUE_DT)
+        m.build_curve(
+            "GBP_OIS_SONIA",
+            px_list=[5.2, 5.1, 5.0, 4.8, 4.7, 4.5, 4.3, 4.1, 3.9, 3.8],
+            tenor_list=["3M", "6M", "9M", "1Y", "18M", "2Y", "3Y",
+                        "5Y", "10Y", "20Y"],
+            fixed_dcc_type=DayCountTypes.ACT_365F,
+            float_dc_type=DayCountTypes.ACT_365F,
+            interp_type=InterpTypes.FLAT_FWD_RATES)
+        m.build_curve("USD_OIS_SOFR", px_list=[5.3, 4.9, 4.3, 4.0],
+                      tenor_list=["1Y", "2Y", "5Y", "10Y"],
+                      fixed_dcc_type=DayCountTypes.ACT_360,
+                      float_dc_type=DayCountTypes.ACT_360,
+                      interp_type=InterpTypes.FLAT_FWD_RATES)
+        b_fine = CurveBasket(m)
+        b_coarse = CurveBasket(m)
+        g_f = b_fine.grids_fn(UT, batch_curves=True)
+        g_c = b_coarse.grids_fn(UT, batch_curves=True,
+                                stage_buckets="coarse")
+        assert len(b_coarse._stages) < len(b_fine._stages)
+        q0 = jnp.asarray(b_fine.quotes0)
+        f = jax.jit(lambda q: g_f(q, b_fine.params))
+        c = jax.jit(lambda q: g_c(q, b_coarse.params))
+        r1, r2 = np.asarray(f(q0)), np.asarray(c(q0))
+        np.testing.assert_allclose(r2, r1, rtol=1e-13, atol=0.0)
+        J1 = np.asarray(jax.jit(jax.jacfwd(
+            lambda q: g_f(q, b_fine.params)))(q0))
+        J2 = np.asarray(jax.jit(jax.jacfwd(
+            lambda q: g_c(q, b_coarse.params)))(q0))
+        np.testing.assert_allclose(J2, J1, rtol=1e-12,
+                                   atol=1e-14 * np.abs(J1).max())
+        g0 = jnp.asarray(
+            np.random.default_rng(2).normal(size=r1.shape))
+        H1 = np.asarray(jax.jit(jax.jacfwd(jax.grad(
+            lambda q: jnp.dot(g0, g_f(q, b_fine.params)))))(q0))
+        H2 = np.asarray(jax.jit(jax.jacfwd(jax.grad(
+            lambda q: jnp.dot(g0, g_c(q, b_coarse.params)))))(q0))
+        np.testing.assert_allclose(H2, H1, rtol=1e-11,
+                                   atol=1e-13 * np.abs(H1).max())
+
     def test_jacobian_identical(self, model):
         f_leg, f_bat, q0 = _pair(model)
         J1 = np.asarray(jax.jit(jax.jacfwd(f_leg))(q0))
