@@ -14,7 +14,10 @@ multi-curve semantics (/root/reference/cavour/market/position/engine.py:
    graphs per scenario, models.py:507-557);
  - a **MultiBook** holds every leg of every trade as padded index rows:
    `disc`/`proj` curve ids are folded into the gather indices at compile
-   time (index = curve_id * U + time_idx), so the hot sweep is the SAME
+   time (dense index = curve_id * U + time_idx, then COMPACTED to the
+   referenced (curve, time) pairs only — `basket.grid_sel`; the dense
+   layout is ~4.6x oversized at flagship diversity and the grid axis is
+   the risk pass's HBM/matmul width), so the hot sweep is the SAME
    flat-gather kernel as the single-curve book — no runtime routing;
    the production sweep uses the COLUMN form (`ColRows`): one
    (column, weight) slot per cashflow against the per-scenario value
@@ -25,7 +28,7 @@ multi-curve semantics (/root/reference/cavour/market/position/engine.py:
    coupons (nonlinear in the DFs) ride in a small per-slot group;
  - per-trade delta ladders come from the chain rule split: closed-form
    per-slot dPV/dDF coefficients (no AD through the [B, P] gathers)
-   matmul'd with the [C*U, N] curve jacobian — one jacfwd of the curve
+   matmul'd with the [n_grid, N] curve jacobian — one jacfwd of the curve
    graph, not B backward passes.
 
 Instruments: OIS, XccyBasisSwap / XccyFixFloat / XccyFixFix, FRN
@@ -212,6 +215,10 @@ class CurveBasket:
             else np.zeros(0)
         self.n_quotes = offset
         self.n_curves = len(self.curves)
+        # grid-axis metadata; populated by grids_fn (identity until a
+        # compaction selection is installed by compile_multibook)
+        self.grid_sel = None
+        self.n_grid = None
 
     def curve_id(self, name: str) -> int:
         return self._id_by_name[name]
@@ -271,10 +278,22 @@ class CurveBasket:
         return native
 
     def grids_fn(self, unique_times, batch_curves: bool = True,
-                 stage_buckets: str = "fine"):
-        """Pure fn (qvec, params) -> flat [C*U] DF vector: every curve
-        interpolated over the shared unique-time grid, rows concatenated
-        in curve-id order (global index = curve_id * U + time_idx).
+                 stage_buckets: str = "fine", grid_sel=None):
+        """Pure fn (qvec, params) -> flat DF vector over the book's grid
+        axis: every curve interpolated over the shared unique-time grid,
+        rows concatenated in curve-id order (dense global index =
+        curve_id * U + time_idx).
+
+        ``grid_sel`` (optional sorted int array into the dense [C*U]
+        axis): emit only the selected (curve, time) pairs — the grid
+        COMPACTION compile_multibook applies after harvesting which
+        pairs the book's index tables actually reference (the dense
+        layout is ~4.6x oversized at flagship diversity, and the grid
+        axis is the risk pass's HBM/matmul width). Sets
+        ``self.grid_sel/n_grid/grid_inv/grid_keep_of/grid_offsets`` for
+        consumers that need to recover per-curve rows
+        (structured_risk's per-stage placements, pertrade_blocks'
+        restricted row maps).
 
         ``batch_curves=True`` (default) builds the graph with one
         vmapped bootstrap per GROUP of same-topology curves instead of
@@ -290,12 +309,43 @@ class CurveBasket:
         padded per-member tangent work for fewer stage TRACES in every
         risk program (cold-compile control; see curve_batching.py)."""
         ut = np.asarray(unique_times)
+        U = ut.shape[0]
+        C = self.n_curves
+        if grid_sel is None:
+            grid_sel = np.arange(C * U, dtype=np.int32)
+        grid_sel = np.asarray(grid_sel, dtype=np.int32)
+        self.grid_sel = grid_sel
+        self.n_grid = int(grid_sel.shape[0])
+        self._grid_dense = self.n_grid == C * U
+        # gather-based inverse (dense index -> compact position, with
+        # unreferenced entries pointing at an appended zero slot) — a
+        # GATHER re-expansion, never an f64 scatter (docs/tpu_f64_notes)
+        inv = np.full(C * U, self.n_grid, dtype=np.int32)
+        inv[grid_sel] = np.arange(self.n_grid, dtype=np.int32)
+        self.grid_inv = inv
+        self.grid_curve_of = (grid_sel // U).astype(np.int32)
+        self.grid_local_of = (grid_sel % U).astype(np.int32)
+        self.grid_keep_of = [self.grid_local_of[self.grid_curve_of == c]
+                             for c in range(C)]
+        self.grid_offsets = np.concatenate(
+            [[0], np.cumsum([k.shape[0] for k in self.grid_keep_of])]
+        ).astype(np.int32)
+
+        def _select(flat):
+            if self._grid_dense:
+                return flat
+            return jnp.take(flat, jnp.asarray(grid_sel), axis=0)
+
         if batch_curves:
             from .curve_batching import build_batched_grids
-            grids, bat, stages = build_batched_grids(
+            dense_grids, bat, stages = build_batched_grids(
                 self, ut, stage_buckets=stage_buckets)
             self.params = dict(self.params, unique_times=ut, bat=bat)
             self._stages = stages
+
+            def grids(qvec, P):
+                return _select(dense_grids(qvec, P))
+
             return grids
 
         native_fn = self.native_grids_fn()
@@ -307,7 +357,7 @@ class CurveBasket:
             for (ts, ds), it in zip(native, its):
                 aux = interp_fit(ts, ds, it)
                 rows.append(interp_df(P["unique_times"], ts, ds, it, aux))
-            return jnp.concatenate(rows)
+            return _select(jnp.concatenate(rows))
 
         self.params = dict(self.params, unique_times=ut)
         return grids
@@ -324,7 +374,7 @@ class MultiBookRows:
     """One pad-bucket of legs ("rows"): [R, P] padded index/amount arrays
     with GLOBAL gather indices (curve id folded in at compile time).
     FX-to-base and leg signs are folded into the amount weights."""
-    fix_idx: jnp.ndarray             # [R, P] int32 into [C*U]
+    fix_idx: jnp.ndarray             # [R, P] int32 into the compact grid
     fix_payments: jnp.ndarray        # [R, P]
     fix_mask: jnp.ndarray            # [R, P]
     flt_pay_idx: jnp.ndarray         # [R, P] int32 (disc curve)
@@ -364,7 +414,7 @@ class ClampSlots:
 class ColRows:
     """One pad-bucket of legs in COLUMN form: every cashflow is a single
     (column, weight) slot against the per-scenario value vector
-    v = concat(dfs_flat [C*U], tripvals [T]) where
+    v = concat(dfs_flat [n_grid], tripvals [T]) where
     tripvals[t] = (df_s/df_e - 1) * df_p over the aggregate's
     deduplicated forward triples. Fixed coupons and float spread terms
     point at DF columns; float forward terms point at trip columns. The
@@ -372,7 +422,7 @@ class ColRows:
     four gathers + forward arithmetic per slot — the same PV, ~4x less
     gather traffic (the per-triple forward work happens once in the tiny
     [T] table, not once per trade)."""
-    col_idx: jnp.ndarray             # [R, L] int32 into [C*U + T]
+    col_idx: jnp.ndarray             # [R, L] int32 into [n_grid + T]
     w: jnp.ndarray                   # [R, L] (0.0 = dead slot)
     row_trade: jnp.ndarray           # [R] int32 owning trade
 
@@ -380,11 +430,11 @@ class ColRows:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MultiBookAggregate:
-    """The book's TOTAL base-ccy PV collapsed onto the flat [C*U] grid:
+    """The book's TOTAL base-ccy PV collapsed onto the compact flat grid:
     linear weights + deduplicated forward triples (+ clamp slots handled
     separately). U and T stay tiny regardless of book size, so the whole
     book's delta ladder and gamma matrix cost one trade's."""
-    w_lin: jnp.ndarray               # [C*U]
+    w_lin: jnp.ndarray               # [n_grid]
     trip_s: jnp.ndarray              # [T] int32
     trip_e: jnp.ndarray              # [T] int32
     trip_p: jnp.ndarray              # [T] int32
@@ -832,8 +882,9 @@ def compile_multibook(instruments, model,
                       ) -> MultiBook:
     """Compile a heterogeneous multi-currency book against a Model.
 
-    Returns a MultiBook whose rows gather from the flat [C*U] DF vector
-    produced by ``basket.grids_fn``; all PVs are in ``base_currency``.
+    Returns a MultiBook whose rows gather from the COMPACTED flat DF
+    vector produced by ``basket.grids_fn`` (only the (curve, time) pairs
+    the book references); all PVs are in ``base_currency``.
 
     ``collateral_types``: optional per-trade CollateralType list (None
     entries = natural collateral). An OIS whose collateral currency
@@ -960,11 +1011,48 @@ def compile_multibook(instruments, model,
             slot_trade=np.array([c["trade"] for c in clamp_rows],
                                 dtype=np.int32))
 
-    agg = _aggregate(buckets, basket.n_curves * U)
-    cols = _build_cols(buckets, agg, basket.n_curves * U, n_buckets)
+    # ---- grid compaction ------------------------------------------------
+    # The dense [C*U] layout evaluates EVERY curve at EVERY unique time,
+    # but a curve only ever serves the times its own trades reference —
+    # measured 4.6x dense overhead on the flagship_v5 book (U=4,337,
+    # 21.8% referenced). Since the [chunk, N, C*U] scenario jacobians are
+    # both the risk pass's HBM budget (the staged scenario-chunk cap) and
+    # its term1/term2 matmul width, keep only the referenced (curve, time)
+    # pairs: remap every index table onto the compacted axis and have
+    # grids() emit the selected entries (global index order is preserved,
+    # so the compact axis is still curve-major).
+    used = np.zeros(basket.n_curves * U, dtype=bool)
+    used[0] = True                    # dead-slot target (curve 0, t=0)
+    for b in buckets:
+        for nm in ("fix_idx", "flt_pay_idx", "flt_start_idx",
+                   "flt_end_idx"):
+            used[np.asarray(getattr(b, nm)).ravel()] = True
+    if clamp is not None:
+        for nm in ("s_idx", "e_idx", "p_idx"):
+            used[np.asarray(getattr(clamp, nm))] = True
+    grid_sel = np.flatnonzero(used).astype(np.int32)
+    new_of_old = np.full(basket.n_curves * U, -1, dtype=np.int32)
+    new_of_old[grid_sel] = np.arange(grid_sel.shape[0], dtype=np.int32)
+
+    def _remap(idx):
+        return new_of_old[np.asarray(idx)].astype(np.int32)
+
+    buckets = [dataclasses.replace(
+        b, fix_idx=_remap(b.fix_idx), flt_pay_idx=_remap(b.flt_pay_idx),
+        flt_start_idx=_remap(b.flt_start_idx),
+        flt_end_idx=_remap(b.flt_end_idx)) for b in buckets]
+    if clamp is not None:
+        clamp = dataclasses.replace(
+            clamp, s_idx=_remap(clamp.s_idx), e_idx=_remap(clamp.e_idx),
+            p_idx=_remap(clamp.p_idx))
+
+    n_grid = int(grid_sel.shape[0])
+    agg = _aggregate(buckets, n_grid)
+    cols = _build_cols(buckets, agg, n_grid, n_buckets)
     basket.grids = basket.grids_fn(unique_times,
                                    batch_curves=batch_curves,
-                                   stage_buckets=stage_buckets)
+                                   stage_buckets=stage_buckets,
+                                   grid_sel=grid_sel)
 
     return MultiBook(basket=basket, unique_times=unique_times,
                      buckets=tuple(buckets), clamp=clamp, aggregate=agg,
@@ -1225,7 +1313,7 @@ def tile_multibook(mb: MultiBook, n_copies: int,
             spread=tile(c.spread), cap=tile(c.cap), floor=tile(c.floor),
             slot_trade=tile(c.slot_trade, trade=True).astype(np.int32))
 
-    CU = mb.basket.n_curves * mb.unique_times.shape[0]
+    CU = mb.basket.n_grid
     agg = _aggregate(buckets, CU)
     cols = tuple(ColRows(
         col_idx=tile(cb.col_idx).astype(np.int32),
@@ -1590,7 +1678,7 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     _, clamp, cols = _device_expand(None, clamp, mb.tile, cols=cols)
     n_trades = mb.n_trades
 
-    CU = basket.n_curves * mb.unique_times.shape[0]
+    CU = basket.n_grid
     N = basket.n_quotes
 
     # TWO jitted programs, not one: the monolithic
@@ -1636,12 +1724,16 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     if getattr(basket, "_stages", None) is not None:
         from .structured_risk import make_structured_risk
         structured = make_structured_risk(basket)
-        # the structured pass holds ~3 [batch, N, C*U] f64 arrays live
-        # (J, term1 gathers, per-stage tangent stacks are smaller);
+        # the structured pass holds ~3 [batch, N, n_grid] f64 arrays
+        # live (J, term1 gathers, per-stage tangent stacks are smaller);
         # larger scenario batches amortize per-op dispatch overhead —
         # at batch 51 the flagship risk graph spends ~35us/op on
         # small-tensor f64 ops, so fewer+bigger is strictly better.
-        risk_batch = max(1, min(int(5e9 // max(N * CU * 8 * 3, 1)), 128))
+        # 6 GB budget on the 16 GB part: at flagship_v5's compacted
+        # n_grid (11,340) that is ~2 GB per buffer at batch 100 — and
+        # keeps S=100 a SINGLE chunk (the pre-compaction 5e9 budget
+        # landed the cap at 99, splitting every 100-scenario sweep).
+        risk_batch = max(1, min(int(6e9 // max(N * CU * 8 * 3, 1)), 128))
 
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):
@@ -1745,11 +1837,12 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
     _, clamp, cols = _device_expand(None, clamp, mb.tile, cols=cols)
     trade_rows_idx = jnp.asarray(_trade_row_table(mb))
 
-    CU = basket.n_curves * mb.unique_times.shape[0]
+    CU = basket.n_grid
     N = basket.n_quotes
     dt = np.asarray(basket.quotes0).dtype
-    # same HBM budget as the monolith: ~3 [chunk, N, C*U] f64 live
-    chunk_cap = max(1, min(int(5e9 // max(N * CU * 8 * 3, 1)), 128))
+    # same HBM budget as the monolith: ~3 [chunk, N, n_grid] f64 live
+    # (6 GB of 16: flagship_v5 compacted fits S=100 in ONE chunk)
+    chunk_cap = max(1, min(int(6e9 // max(N * CU * 8 * 3, 1)), 128))
     if max_chunk is not None:
         chunk_cap = int(max_chunk)
 
@@ -1910,7 +2003,64 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
         fn.compile_seconds = timings
         return fn
 
+    def save_executables(path: str):
+        """Serialize the kept region EXECUTABLES to ``path`` (pickle of
+        jax.experimental.serialize_executable payloads + the dispatch
+        state). This is the production cold-start artifact: a fresh
+        process on a same-topology device calls ``load_executables``
+        and pays executable LOADS (measured ~60 MB/s even through the
+        tunneled dev backend, vs tens of seconds PER REGION for
+        compiles — persistent-cache hits on this backend still ran the
+        remote service round-trip at compile-like latency, BENCH_r05).
+        Backend-specific: a payload serialized against one TPU
+        generation will not load on another — regenerate per fleet."""
+        import pickle
+
+        from jax.experimental.serialize_executable import serialize
+
+        if not execs:
+            raise LibError("save_executables: precompile(...) first")
+        data = {k: serialize(ex) for k, ex in execs.items()}
+        blob = dict(execs=data, chunk=state["chunk"], S=state["S"],
+                    n_grid=basket.n_grid, n_quotes=N,
+                    want_gamma=want_gamma)
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_executables(path: str, device=None):
+        """Load region executables saved by ``save_executables`` into
+        this fn's dispatch path (shape-checked against this book).
+        Returns fn, ready to call with (S, N) shocks without any XLA
+        compile. The regions are single-device programs; they load onto
+        ``device`` (default ``jax.devices()[0]`` — without this a
+        multi-device backend would bind them across ALL local devices
+        and reject single-shard args at dispatch)."""
+        import pickle
+
+        from jax.experimental.serialize_executable import \
+            deserialize_and_load
+
+        dev = device if device is not None else jax.devices()[0]
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if blob["n_grid"] != basket.n_grid or blob["n_quotes"] != N \
+                or blob["want_gamma"] != want_gamma:
+            raise LibError(
+                f"load_executables: archive was built for a different "
+                f"book (n_grid {blob['n_grid']} vs {basket.n_grid}, "
+                f"n_quotes {blob['n_quotes']} vs {N}, want_gamma "
+                f"{blob['want_gamma']} vs {want_gamma})")
+        for k, (payload, in_tree, out_tree) in blob["execs"].items():
+            execs[k] = deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=(dev,))
+        state["chunk"] = blob["chunk"]
+        state["S"] = blob["S"]
+        return fn
+
     fn.precompile = precompile
+    fn.save_executables = save_executables
+    fn.load_executables = load_executables
     fn.programs = execs
     return fn
 
@@ -2204,7 +2354,7 @@ def _harvest_sel_tables(mb: MultiBook, trade_ids) -> Dict[str, np.ndarray]:
     per-trade gamma builders."""
     sel = np.asarray(trade_ids, dtype=np.int64)
     B_sel = sel.shape[0]
-    CU = mb.basket.n_curves * mb.unique_times.shape[0]
+    CU = mb.basket.n_grid
 
     if mb.tile is not None:
         B_base = mb.tile.base_trades
@@ -2329,8 +2479,7 @@ def _sel_gamma_kernel(basket, B_sel: int):
     curve-Hessian contraction reuses the structured per-stage
     second-order tensors (structured_risk.make_pertrade_curvehess)."""
     grids = basket.grids
-    CU = basket.n_curves * int(
-        np.asarray(basket.params["unique_times"]).shape[0])
+    CU = basket.n_grid
     curvehess = None
     if getattr(basket, "_stages", None) is not None:
         from .structured_risk import make_pertrade_curvehess

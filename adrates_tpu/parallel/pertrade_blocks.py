@@ -24,8 +24,9 @@ Mechanics:
       per-stage second-order tensors are computed once and contracted
       with each trade's restricted DF-gradient rows, with untouched
       stages skipped from the traced program entirely.
-- the shared curve jacobian J [N, C*U] and primal grids come from ONE
-  jitted prep program reused by every group.
+- the shared curve jacobian J [N, n_grid] (over the compacted
+  (curve, time) grid axis) and primal grids come from ONE jitted prep
+  program reused by every group.
 - groups larger than ``chunk`` base trades split into equal-shape
   sub-blocks (slot tables padded to the max) so each group still
   compiles exactly once.
@@ -79,15 +80,15 @@ def _touched_sets(mb: MultiBook) -> List[set]:
     in-graph, quote moves on a parent move the XCCY grid — the block
     must carry those directions)."""
     basket = mb.basket
-    U = mb.unique_times.shape[0]
-    CU = basket.n_curves * U
+    CU = basket.n_grid
+    curve_of = np.asarray(basket.grid_curve_of, dtype=np.int64)
     agg = mb.aggregate
     B_base = mb.tile.base_trades if mb.tile is not None else mb.n_trades
     touched: List[set] = [set() for _ in range(B_base)]
 
-    trip_cids = np.stack([np.asarray(agg.trip_s) // U,
-                          np.asarray(agg.trip_e) // U,
-                          np.asarray(agg.trip_p) // U])
+    trip_cids = np.stack([curve_of[np.asarray(agg.trip_s)],
+                          curve_of[np.asarray(agg.trip_e)],
+                          curve_of[np.asarray(agg.trip_p)]])
 
     for cb in mb.cols:
         ci = np.asarray(cb.col_idx)
@@ -99,7 +100,7 @@ def _touched_sets(mb: MultiBook) -> List[set]:
             cols = ci[r][live]
             is_trip = cols >= CU
             for c in cols[~is_trip]:
-                touched[t].add(int(c) // U)
+                touched[t].add(int(curve_of[c]))
             for c in cols[is_trip]:
                 ti = int(c) - CU
                 touched[t].update(int(x) for x in trip_cids[:, ti])
@@ -108,9 +109,9 @@ def _touched_sets(mb: MultiBook) -> List[set]:
         st = np.asarray(c.slot_trade)
         for r in range(st.shape[0]):
             t = int(st[r])
-            touched[t].update((int(c.s_idx[r]) // U,
-                               int(c.e_idx[r]) // U,
-                               int(c.p_idx[r]) // U))
+            touched[t].update((int(curve_of[c.s_idx[r]]),
+                               int(curve_of[c.e_idx[r]]),
+                               int(curve_of[c.p_idx[r]])))
 
     if basket.recalibrate_xccy:
         for s in touched:
@@ -125,8 +126,7 @@ def _touched_sets(mb: MultiBook) -> List[set]:
 def _harvest_group(mb: MultiBook, local_of: Dict[int, int]) -> dict:
     """Flat lin/trip/clamp slot tables for one group's base trades
     (b indices LOCAL to the group, weights at base scale)."""
-    U = mb.unique_times.shape[0]
-    CU = mb.basket.n_curves * U
+    CU = mb.basket.n_grid
     agg = mb.aggregate
     lin, trip, clamp_sl = [], [], []
     for cb in mb.cols:
@@ -200,10 +200,16 @@ def _split_tables(tab: dict, n_sub: int, sizes: List[int]) -> List[dict]:
     return subs
 
 
-def _tables_device(sub: dict, U: int, row_pos: Dict[int, int]) -> dict:
+def _tables_device(sub: dict, mb: MultiBook,
+                   row_pos: Dict[int, int]) -> dict:
     """Pack one sub-block's tables as device int/float arrays with both
-    GLOBAL flat-DF indices (for dfs/J gathers) and LOCAL restricted-row
-    indices (for the [B, T*U] gradient scatter)."""
+    GLOBAL (compact) flat-DF indices (for dfs/J gathers) and LOCAL
+    restricted-row indices (for the [B, T*U] gradient scatter — the
+    restricted grid stays time-DENSE per touched curve, which is the
+    layout make_pertrade_curvehess's restrict mode slices)."""
+    U = mb.unique_times.shape[0]
+    curve_of = np.asarray(mb.basket.grid_curve_of, dtype=np.int64)
+    local_of = np.asarray(mb.basket.grid_local_of, dtype=np.int64)
     n_c = (max(row_pos) + 1) if row_pos else 0
     rowpos_arr = np.full(n_c, -1, dtype=np.int64)
     for cid, rp in row_pos.items():
@@ -211,7 +217,8 @@ def _tables_device(sub: dict, U: int, row_pos: Dict[int, int]) -> dict:
 
     def loc(idx):
         idx = idx.astype(np.int64)
-        return (rowpos_arr[idx // U] * U + idx % U).astype(np.int32)
+        return (rowpos_arr[curve_of[idx]] * U
+                + local_of[idx]).astype(np.int32)
 
     lin, trip, cl = sub["lin"], sub["trip"], sub["clamp"]
     out = dict(
@@ -374,7 +381,8 @@ def _group_specs(mb: MultiBook, chunk: Optional[int]):
             sizes = [min(sub_size, Bg - i * sub_size)
                      for i in range(n_sub)]
             subs = _split_tables(tab, n_sub, sizes)
-            spec["tabs"] = [jax.device_put(_tables_device(s, U, row_pos))
+            spec["tabs"] = [jax.device_put(_tables_device(s, mb,
+                                                          row_pos))
                             for s in subs]
             spec["sizes"] = sizes
             spec["sub_fn"] = make_sub_fn(sub_size)

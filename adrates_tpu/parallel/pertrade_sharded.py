@@ -249,7 +249,6 @@ def make_sharded_per_trade_gamma_blocks_fn(mb: MultiBook, mesh,
     repl = NamedSharding(mesh, P())
     row_sh = NamedSharding(mesh, P(axes))
 
-    U = mb.unique_times.shape[0]
     params = jax.device_put(basket.params, repl)
     grids = basket.grids
 
@@ -270,7 +269,7 @@ def make_sharded_per_trade_gamma_blocks_fn(mb: MultiBook, mesh,
         subs = _split_tables(gs["tab"], n_shards, sizes)
         stacked = {}
         for s in subs:
-            dev = _tables_device(s, U, gs["row_pos"])
+            dev = _tables_device(s, mb, gs["row_pos"])
             for k_, v in dev.items():
                 stacked.setdefault(k_, []).append(v)
         tables = jax.device_put(

@@ -161,10 +161,21 @@ def _build_meta(basket):
                 H2 = jax.lax.dynamic_update_slice(H2, cur + sub, start)
         return H2
 
+    # grid-axis compaction metadata (multibook.compile_multibook keeps
+    # only the referenced (curve, time) pairs of the dense [C*U] axis;
+    # identity when the basket was built without a selection)
+    dense = getattr(basket, "grid_sel", None) is None \
+        or getattr(basket, "_grid_dense", True)
+    grid = dict(
+        dense=dense,
+        n_grid=basket.n_grid if not dense else C * U,
+        keep_of=(None if dense else basket.grid_keep_of),
+        inv=(None if dense else basket.grid_inv))
+
     return dict(stages=stages, specs=specs, C=C, N=N, U=U, bat0=bat0,
                 pos_of=pos_of, its_of=its_of, xmeta=xmeta,
                 segments=segments, fold_pads=fold_pads,
-                place_rows=place_rows, place_hess=place_hess,
+                place_rows=place_rows, place_hess=place_hess, grid=grid,
                 ois_first=[si for si, st in enumerate(stages)
                            if st.kind != "xccy"],
                 xccy_last=[si for si, st in enumerate(stages)
@@ -180,9 +191,10 @@ def make_structured_parts(basket):
     the region programs precompile concurrently where the monolith
     serializes; docs/tpu_operational_notes.md, round-4 findings):
 
-    - ``fwd_delta(qvec, P, agg, clamp_agg)`` -> dict(dfs [C*U], g [C*U],
-      J [N, C*U], delta [N], carry): stage forwards, per-stage jacobian
-      rows, assembled J, aggregate gradient and the book delta.
+    - ``fwd_delta(qvec, P, agg, clamp_agg)`` -> dict(dfs [n_grid],
+      g [n_grid], J [N, n_grid], delta [N], carry): stage forwards,
+      per-stage jacobian rows, assembled J (on the compacted grid
+      axis), aggregate gradient and the book delta.
       ``carry`` holds exactly the cross-boundary arrays term2 needs
       (per XCCY stage: the stacked parent grids as values, the
       calibration-leg PVs and the composed direction tables) so term2
@@ -208,6 +220,23 @@ def make_structured_parts(basket):
     _place_hess = meta["place_hess"]
     ois_first = meta["ois_first"]
     xccy_last = meta["xccy_last"]
+    grid = meta["grid"]
+    keep_of = grid["keep_of"]
+
+    def _keep_cols(x, cid):
+        """Select a curve's referenced unique-time columns (last axis)
+        under the grid compaction; identity when the axis is dense."""
+        return x if grid["dense"] else jnp.take(x, keep_of[cid], axis=-1)
+
+    def _g_dense(g0):
+        """Re-expand a compacted aggregate cotangent to the dense [C*U]
+        axis so the per-curve stage slices below stay index-arithmetic.
+        A static GATHER of [C*U] (unreferenced entries read an appended
+        zero) — never an f64 scatter (docs/tpu_f64_notes.md)."""
+        if grid["dense"]:
+            return g0
+        pad = jnp.concatenate([g0, jnp.zeros(1, g0.dtype)])
+        return pad[jnp.asarray(grid["inv"])]
 
     def fwd_delta(qvec, P, agg, clamp_agg):
         B = P["bat"]
@@ -351,7 +380,8 @@ def make_structured_parts(basket):
                              Jpv=Jpv, td_legs=td_legs, tf2=tf2)
 
         # ---- aggregate gradient --------------------------------------
-        dfs_flat = jnp.concatenate([rows_of[c] for c in range(C)])
+        dfs_flat = jnp.concatenate(
+            [_keep_cols(rows_of[c], c) for c in range(C)])
         g = jax.grad(
             lambda d: aggregate_total(d, agg, clamp_agg))(dfs_flat)
 
@@ -359,9 +389,10 @@ def make_structured_parts(basket):
         blocks = []
         for cid in range(C):
             si, mi = pos_of[cid]
-            blocks.append(_place_rows(drows_st[si][:, mi, :],
-                                      _segments(si, mi), U))
-        J = jnp.concatenate(blocks, axis=1)                 # [N, C*U]
+            d_c = _keep_cols(drows_st[si][:, mi, :], cid)
+            blocks.append(_place_rows(d_c, _segments(si, mi),
+                                      d_c.shape[-1]))
+        J = jnp.concatenate(blocks, axis=1)       # [N, n_grid]
         return {"dfs": dfs_flat, "g": g, "J": J, "delta": J @ g,
                 "carry": carry}
 
@@ -380,7 +411,7 @@ def make_structured_parts(basket):
 
         # ---- per-stage hessians, XCCY first (cotangents flow onto the
         # parent OIS natives) ------------------------------------------
-        g0 = jax.lax.stop_gradient(g)
+        g0 = _g_dense(jax.lax.stop_gradient(g))
         H2 = jnp.zeros((N, N), dt)
         v_of: Dict[str, jnp.ndarray] = {}
 
@@ -520,7 +551,7 @@ def make_structured_parts(basket):
         B = P["bat"]
         ut = P["unique_times"]
         dt = qvec.dtype
-        g0 = jax.lax.stop_gradient(g)
+        g0 = _g_dense(jax.lax.stop_gradient(g))
         H2 = jnp.zeros((N, N), dt)
 
         for si in ois_first:
@@ -695,6 +726,15 @@ def make_pertrade_curvehess(basket, restrict=None):
         ut = P["unique_times"]
         dt = qvec.dtype
         Bn = G.shape[0]
+        if restrict is None and not meta["grid"]["dense"]:
+            # G arrives on the COMPACTED grid axis (multibook's
+            # selected-gamma kernel builds it from the compact cols);
+            # re-expand by gather so the per-curve row slices below
+            # stay index arithmetic. restrict mode is untouched: its G
+            # is already dense over the touched curves' [T*U] rows.
+            pad = jnp.concatenate([G, jnp.zeros((Bn, 1), G.dtype)],
+                                  axis=1)
+            G = pad[:, jnp.asarray(meta["grid"]["inv"])]
         out = jnp.zeros((Bn, width, width), dt)
 
         def g_rows(cid):

@@ -56,56 +56,63 @@ def build_model():
         return [r + d for r in rates]
 
     small = [MAIN_RATES[MAIN_TENORS.index(t)] for t in SMALL_TENORS]
-    m.build_curve("GBP_OIS_SONIA", px_list=MAIN_RATES,
-                  tenor_list=MAIN_TENORS,
-                  fixed_dcc_type=DayCountTypes.ACT_365F,
-                  float_dc_type=DayCountTypes.ACT_365F,
-                  interp_type=InterpTypes.FLAT_FWD_RATES)
-    m.build_curve("USD_OIS_SOFR", px_list=shifted(MAIN_RATES, 0.35),
-                  tenor_list=MAIN_TENORS,
-                  fixed_dcc_type=DayCountTypes.ACT_360,
-                  float_dc_type=DayCountTypes.ACT_360,
-                  interp_type=InterpTypes.FLAT_FWD_RATES)
-    m.build_curve("EUR_OIS_ESTR", px_list=shifted(MAIN_RATES, -1.2),
-                  tenor_list=MAIN_TENORS,
-                  fixed_dcc_type=DayCountTypes.ACT_360,
-                  float_dc_type=DayCountTypes.ACT_360,
-                  interp_type=InterpTypes.FLAT_FWD_RATES)
-    for name, d, dc in [("JPY_OIS_TONAR", -3.2, DayCountTypes.ACT_365F),
-                        ("CHF_OIS_SARON", -2.5, DayCountTypes.ACT_360),
-                        ("AUD_OIS_AONIA", 0.1, DayCountTypes.ACT_365F),
-                        ("CAD_OIS_CORRA", 0.6, DayCountTypes.ACT_365F)]:
-        m.build_curve(name, px_list=shifted(small, d),
-                      tenor_list=SMALL_TENORS,
-                      fixed_dcc_type=dc, float_dc_type=dc,
-                      interp_type=InterpTypes.FLAT_FWD_RATES)
+
+    def ois(name, px, tenors, dc):
+        return lambda: m.build_curve(
+            name, px_list=px, tenor_list=tenors, fixed_dcc_type=dc,
+            float_dc_type=dc, interp_type=InterpTypes.FLAT_FWD_RATES)
+
+    wave1 = [
+        ois("GBP_OIS_SONIA", MAIN_RATES, MAIN_TENORS,
+            DayCountTypes.ACT_365F),
+        ois("USD_OIS_SOFR", shifted(MAIN_RATES, 0.35), MAIN_TENORS,
+            DayCountTypes.ACT_360),
+        ois("EUR_OIS_ESTR", shifted(MAIN_RATES, -1.2), MAIN_TENORS,
+            DayCountTypes.ACT_360),
+    ] + [ois(name, shifted(small, d), SMALL_TENORS, dc)
+         for name, d, dc in
+         [("JPY_OIS_TONAR", -3.2, DayCountTypes.ACT_365F),
+          ("CHF_OIS_SARON", -2.5, DayCountTypes.ACT_360),
+          ("AUD_OIS_AONIA", 0.1, DayCountTypes.ACT_365F),
+          ("CAD_OIS_CORRA", 0.6, DayCountTypes.ACT_365F)]]
 
     m.build_fx(["GBPUSD", "EURUSD", "JPYUSD", "CHFUSD", "AUDUSD",
                 "CADUSD"],
                [1.27, 1.09, 0.0069, 1.13, 0.66, 0.74])
 
-    for name, dom, forn, fx, spr in [
-            ("GBP_USD_XCCY", "USD_OIS_SOFR", "GBP_OIS_SONIA", 1.27, -8.0),
-            ("EUR_USD_XCCY", "USD_OIS_SOFR", "EUR_OIS_ESTR", 1.09, -18.0),
-            ("JPY_USD_XCCY", "USD_OIS_SOFR", "JPY_OIS_TONAR", 0.0069,
-             -40.0)]:
-        m.build_xccy_curve(
+    def xccy(name, dom, forn, fx, spr):
+        return lambda: m.build_xccy_curve(
             name=name, domestic_curve_name=dom, foreign_curve_name=forn,
-            basis_spreads=[spr + 0.5 * i for i in range(len(XCCY_TENORS))],
+            basis_spreads=[spr + 0.5 * i
+                           for i in range(len(XCCY_TENORS))],
             tenor_list=XCCY_TENORS, spot_fx=fx)
+
+    def infl(name, base_cpi, bes, **kw):
+        tl = ["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"]
+        return lambda: m.build_inflation_curve(
+            name, base_cpi=base_cpi, breakeven_list=bes,
+            tenor_list=tl, **kw)
 
     # inflation (BASELINE config 4 folded into the flagship): breakevens
     # join the packed quote vector, so the NxN gamma spans rates + basis
-    # + inflation
-    m.build_inflation_curve(
-        "GBP_RPI_INFLATION", base_cpi=293.0,
-        breakeven_list=[3.9, 3.75, 3.6, 3.5, 3.45, 3.5, 3.45, 3.35],
-        tenor_list=["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"])
-    m.build_inflation_curve(
-        "USD_CPI_INFLATION", base_cpi=308.0,
-        breakeven_list=[2.6, 2.45, 2.4, 2.35, 2.35, 2.4, 2.45, 2.4],
-        tenor_list=["1Y", "2Y", "3Y", "5Y", "7Y", "10Y", "20Y", "30Y"],
-        index_type=InflationIndexTypes.US_CPI_U)
+    # + inflation. Two waves (XCCY needs its parent OIS curves built):
+    # distinct curve topologies' first compiles overlap on the thread
+    # pool instead of serializing (Model.build_parallel,
+    # test_build_parallel.py parity).
+    wave2 = [
+        xccy("GBP_USD_XCCY", "USD_OIS_SOFR", "GBP_OIS_SONIA", 1.27,
+             -8.0),
+        xccy("EUR_USD_XCCY", "USD_OIS_SOFR", "EUR_OIS_ESTR", 1.09,
+             -18.0),
+        xccy("JPY_USD_XCCY", "USD_OIS_SOFR", "JPY_OIS_TONAR", 0.0069,
+             -40.0),
+        infl("GBP_RPI_INFLATION", 293.0,
+             [3.9, 3.75, 3.6, 3.5, 3.45, 3.5, 3.45, 3.35]),
+        infl("USD_CPI_INFLATION", 308.0,
+             [2.6, 2.45, 2.4, 2.35, 2.35, 2.4, 2.45, 2.4],
+             index_type=InflationIndexTypes.US_CPI_U),
+    ]
+    m.build_parallel(wave1, wave2)
     return m
 
 
@@ -349,10 +356,16 @@ def _tree_files(root):
 
 
 def cached_cold_child():
-    """Fresh-process shipped-cache measurement (VERDICT r4 missing #1):
-    import the exported cache archive into an EMPTY cache root, rebuild
-    the flagship book from scratch, and time the staged warmup — every
-    XLA compile should be a disk hit. Prints ONE JSON line of phases."""
+    """Fresh-process shipped-artifact measurement (VERDICT r4 missing
+    #1): import the exported cache archive into an EMPTY cache root,
+    rebuild the flagship book from scratch, and bring the staged risk
+    path up WITHOUT any XLA compile by loading the serialized region
+    EXECUTABLES (fn.save_executables in the parent) — what a production
+    host pays on day one with the deployment artifacts. Measured r4/r5:
+    persistent-cache hits on the tunneled backend still ran at
+    compile-like latency (the remote service round-trips per program),
+    so the executables archive is the real mechanism. Prints ONE JSON
+    line of phases."""
     import time as _time
 
     import jax  # noqa: F401 — backend init included in child timings
@@ -361,13 +374,15 @@ def cached_cold_child():
 
     tar = os.environ["ADRATES_CACHED_COLD_TAR"]
     root = os.environ["ADRATES_CACHED_COLD_ROOT"]
+    exec_path = os.environ["ADRATES_CACHED_COLD_EXECS"]
     cache_dir = adrates_tpu.import_cache(tar, cache_root=root)
     out = {"cache_entries_after_import": _tree_files(cache_dir)}
 
     import jax.numpy as jnp
 
-    from adrates_tpu.parallel import compile_multibook, tile_multibook, \
-        warmup_multibook
+    from adrates_tpu.parallel import (compile_multibook,
+                                      make_staged_multibook_fn,
+                                      tile_multibook)
     from adrates_tpu.utils import CurrencyTypes
 
     rng = np.random.default_rng(7)
@@ -385,13 +400,16 @@ def cached_cold_child():
                         notional_scale=rng.uniform(0.5, 2.0, n_copies))
     out["trade_compile_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
     t0 = _time.perf_counter()
-    fn = warmup_multibook(mb, 100, want_gamma=True, staged=True,
-                          parallel=True)
-    out["warmup_cached_cold_ms"] = round(
-        (_time.perf_counter() - t0) * 1e3, 1)
-    secs = getattr(fn, "compile_seconds", None)
-    if secs:
-        out["staged_region_compile_s"] = secs
+    fn = make_staged_multibook_fn(mb, want_gamma=True)
+    fn.load_executables(exec_path)
+    out["exec_load_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
+    t0 = _time.perf_counter()
+    N = mb.basket.n_quotes
+    res = fn(jnp.asarray(mb.basket.quotes0), np.zeros((100, N)))
+    float(sum(jnp.sum(v) for v in res.values()))
+    out["first_run_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
+    out["warmup_cached_cold_ms"] = out["exec_load_ms"] \
+        + out["first_run_ms"]
     print(json.dumps(out), flush=True)
 
 
@@ -513,6 +531,8 @@ def main():
         backend)."""
         return float(sum(jnp.sum(v) for v in out.values()))
 
+    staged_fn_box = {}
+
     def run_config(want_gamma, n_scen_try, staged):
         sh = shocks[:n_scen_try]
         t0 = time.perf_counter()
@@ -532,6 +552,8 @@ def main():
         if secs:
             phases["staged_region_compile_s"] = secs
             log(f"staged region compiles (concurrent): {secs}")
+        if staged:
+            staged_fn_box["fn"] = fn
         t0 = time.perf_counter()
         fetch(fn(q0, sh))
         return time.perf_counter() - t0
@@ -618,21 +640,29 @@ def main():
         log(f"per-trade gamma blocks config failed: "
             f"{type(e).__name__}: {e}")
 
-    # --- shipped-cache cold start (VERDICT r4 missing #1) ---------------
-    # export the persistent cache, then a FRESH python process imports
-    # it into an EMPTY root, rebuilds the flagship book, and times the
-    # staged warmup: what a production host pays on day one with the
-    # deployment archive. Measured, not claimed.
+    # --- shipped-artifact cold start (VERDICT r4 missing #1) ------------
+    # export the persistent cache AND the serialized region executables,
+    # then a FRESH python process imports both, rebuilds the flagship
+    # book, and brings the staged risk path up with zero XLA compiles:
+    # what a production host pays on day one with the deployment
+    # artifacts. Measured, not claimed.
     try:
         import subprocess
         import tempfile
 
         tar = os.path.join(tempfile.gettempdir(),
                            "adrates_cache_ship.tar.gz")
+        execs_path = os.path.join(tempfile.gettempdir(),
+                                  "adrates_execs_ship.pkl")
         adrates_tpu.export_cache(tar, cache_root=cold_root)
+        staged_fn = staged_fn_box.get("fn")
+        if staged_fn is None:
+            raise RuntimeError("no staged fn survived to export")
+        staged_fn.save_executables(execs_path)
         child_env = dict(
             os.environ,
             ADRATES_CACHED_COLD_TAR=tar,
+            ADRATES_CACHED_COLD_EXECS=execs_path,
             ADRATES_CACHED_COLD_ROOT=tempfile.mkdtemp(
                 prefix="adrates_ship_cache_"))
         t0 = time.perf_counter()
@@ -646,17 +676,20 @@ def main():
             child = json.loads(proc.stdout.strip().splitlines()[-1])
             child["process_wall_ms"] = child_wall
             phases["cached_cold"] = child
-            log(f"shipped-cache fresh process: warmup "
-                f"{child['warmup_cached_cold_ms']:.0f} ms "
-                f"(model {child['model_build_ms']:.0f} ms, trades "
+            log(f"shipped-artifact fresh process: staged path up in "
+                f"{child['warmup_cached_cold_ms']:.0f} ms (exec load "
+                f"{child['exec_load_ms']:.0f} ms + first run "
+                f"{child['first_run_ms']:.0f} ms; model "
+                f"{child['model_build_ms']:.0f} ms, trades "
                 f"{child['trade_compile_ms']:.0f} ms, whole process "
-                f"{child_wall:.0f} ms, archive "
-                f"{os.path.getsize(tar)/1e6:.0f} MB)")
+                f"{child_wall:.0f} ms, cache archive "
+                f"{os.path.getsize(tar)/1e6:.0f} MB, executables "
+                f"{os.path.getsize(execs_path)/1e6:.0f} MB)")
         else:
             log(f"cached-cold child failed rc={proc.returncode}: "
                 f"{proc.stderr[-500:]}")
     except Exception as e:  # noqa: BLE001
-        log(f"shipped-cache phase failed: {type(e).__name__}: {e}")
+        log(f"shipped-artifact phase failed: {type(e).__name__}: {e}")
 
     # per-phase artifact (VERDICT r2 item 9): attribute round-over-round
     # regressions without re-deriving the split from stderr

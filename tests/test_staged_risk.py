@@ -104,3 +104,32 @@ class TestStagedRisk:
                 make_staged_multibook_fn(mb)
         finally:
             mb.basket._stages = stages
+
+    def test_save_load_executables(self, book, tmp_path):
+        """The shipped cold-start artifact: serialized region
+        executables load into a FRESH staged fn (no precompile, no jit
+        dispatch) and reproduce the monolith exactly. Shape fingerprint
+        mismatches raise rather than mis-dispatch."""
+        mb, q0, shocks, ref = book
+        fn = make_staged_multibook_fn(mb)
+        fn.precompile(S, parallel=False)
+        path = str(tmp_path / "execs.pkl")
+        fn.save_executables(path)
+
+        fresh = make_staged_multibook_fn(mb)
+        assert not fresh.programs
+        fresh.load_executables(path)
+        assert set(fresh.programs) == {"A", "B", "C1", "C2", "D", "P"}
+        _assert_matches(ref, fresh(q0, shocks))
+
+        from adrates_tpu.utils.error import LibError
+        other = make_staged_multibook_fn(mb, want_gamma=False)
+        with pytest.raises(LibError, match="different book"):
+            other.load_executables(path)
+
+    def test_save_before_precompile_raises(self, book, tmp_path):
+        mb, _, _, _ = book
+        fn = make_staged_multibook_fn(mb)
+        from adrates_tpu.utils.error import LibError
+        with pytest.raises(LibError, match="precompile"):
+            fn.save_executables(str(tmp_path / "x.pkl"))
