@@ -60,6 +60,11 @@ from ..utils.global_types import InstrumentTypes, InterpTypes, SwapTypes
 # forward tangents make compile and runtime impractical).
 SPEED_MAX_QUOTES = 64
 
+# Trip-axis chunk for the book-gamma quad form (see _gamma_quad_form:
+# bounds the gathered [S, N, Tc] f64 temporaries under the scenario
+# vmap; 1,024 keeps the [N, Tc] @ [Tc, N] matmuls MXU-sized).
+_TRIP_CHUNK = 1024
+
 
 # ---------------------------------------------------------------------------
 # Curve basket: the model's curves as one differentiable system
@@ -141,6 +146,7 @@ class CurveBasket:
         from ..trades.rates.ois_curve import OISCurve
         from ..trades.rates.xccy_curve import XccyCurve
 
+        explicit = curve_names is not None
         names = curve_names or [
             n for n, c in model._curves_dict.items()
             if isinstance(c, (OISCurve, XccyCurve, InflationCurve))]
@@ -150,6 +156,18 @@ class CurveBasket:
                 if isinstance(model._curves_dict[n], XccyCurve)]
         infl = [(n, model._curves_dict[n]) for n in names
                 if isinstance(model._curves_dict[n], InflationCurve)]
+        if not explicit:
+            # canonical order BY NAME within each kind: the default
+            # (model dict) order is insertion order, which under
+            # Model.build_parallel is thread-COMPLETION order — two
+            # processes would pack quotes (and compact the grid)
+            # differently, breaking cross-process artifact fingerprints
+            # (measured: the shipped-executables child saw n_grid 11,339
+            # vs the parent's 11,340, BENCH_r05). Explicit curve_names
+            # keep caller order.
+            ois.sort(key=lambda nc: nc[0])
+            xccy.sort(key=lambda nc: nc[0])
+            infl.sort(key=lambda nc: nc[0])
 
         self.model = model
         self.recalibrate_xccy = recalibrate_xccy
@@ -1492,24 +1510,50 @@ def _gamma_quad_form(J, dfs_flat, agg: MultiBookAggregate,
     — dense [N, T] @ [T, N] MXU matmuls, no scatter anywhere. This is
     the same split the reference hand-assembles per trade
     (/root/reference/cavour/market/position/engine.py:2563-2568), done
-    once for the whole book."""
-    a = dfs_flat[agg.trip_s]
-    b = dfs_flat[agg.trip_e]
-    c = dfs_flat[agg.trip_p]
-    w = agg.trip_w
-    Ja = J[:, agg.trip_s]            # [N, T]
-    Jb = J[:, agg.trip_e]
-    Jc = J[:, agg.trip_p]
-    # second partials of (a/b - 1) c:  f_aa = f_cc = 0
-    f_ab = -c / (b * b)
-    f_ac = 1.0 / b
-    f_bb = 2.0 * a * c / (b * b * b)
-    f_bc = -a / (b * b)
-    G = (Ja * (w * f_ab)[None, :]) @ Jb.T
-    G = G + (Ja * (w * f_ac)[None, :]) @ Jc.T
-    G = G + (Jb * (w * f_bc)[None, :]) @ Jc.T
-    G = G + G.T                       # symmetrize the asymmetric pairs
-    G = G + (Jb * (w * f_bb)[None, :]) @ Jb.T
+    once for the whole book.
+
+    The trip axis is CHUNKED via lax.map past _TRIP_CHUNK slots: the
+    gathered J columns are ~6 concurrent [S, N, T] f64 temporaries
+    under the scenario vmap, and at flagship_v5 trip counts (T=4,643)
+    the unchunked form is a 16.1 G compile-time HBM reservation on a
+    15.75 G part (measured OOM, BENCH_r05). Chunks of 1,024 bound the
+    temporaries ~8x below that while keeping the matmuls MXU-sized;
+    zero-padded tail slots contribute exactly zero (w=0)."""
+    T = int(agg.trip_s.shape[0])
+
+    def _trip_part(idx_s, idx_e, idx_p, w):
+        a = dfs_flat[idx_s]
+        b = dfs_flat[idx_e]
+        c = dfs_flat[idx_p]
+        Ja = J[:, idx_s]             # [N, Tc]
+        Jb = J[:, idx_e]
+        Jc = J[:, idx_p]
+        # second partials of (a/b - 1) c:  f_aa = f_cc = 0
+        f_ab = -c / (b * b)
+        f_ac = 1.0 / b
+        f_bb = 2.0 * a * c / (b * b * b)
+        f_bc = -a / (b * b)
+        Z = (Ja * (w * f_ab)[None, :]) @ Jb.T
+        Z = Z + (Ja * (w * f_ac)[None, :]) @ Jc.T
+        Z = Z + (Jb * (w * f_bc)[None, :]) @ Jc.T
+        Z = Z + Z.T                  # symmetrize the asymmetric pairs
+        return Z + (Jb * (w * f_bb)[None, :]) @ Jb.T
+
+    if T <= _TRIP_CHUNK:
+        G = _trip_part(agg.trip_s, agg.trip_e, agg.trip_p, agg.trip_w)
+    else:
+        pad = (-T) % _TRIP_CHUNK
+
+        def pad_to(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)]).reshape(
+                    -1, _TRIP_CHUNK)
+
+        parts = lax.map(
+            lambda t: _trip_part(t[0], t[1], t[2], t[3]),
+            (pad_to(agg.trip_s, 0), pad_to(agg.trip_e, 0),
+             pad_to(agg.trip_p, 0), pad_to(agg.trip_w, 0.0)))
+        G = jnp.sum(parts, axis=0)
 
     if clamp is not None:
         # PV = w·clip((u/v-1)/ia + spread, lo, hi)·p; the clipped rate's
@@ -1729,11 +1773,13 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
         # larger scenario batches amortize per-op dispatch overhead —
         # at batch 51 the flagship risk graph spends ~35us/op on
         # small-tensor f64 ops, so fewer+bigger is strictly better.
-        # 6 GB budget on the 16 GB part: at flagship_v5's compacted
-        # n_grid (11,340) that is ~2 GB per buffer at batch 100 — and
-        # keeps S=100 a SINGLE chunk (the pre-compaction 5e9 budget
-        # landed the cap at 99, splitting every 100-scenario sweep).
-        risk_batch = max(1, min(int(6e9 // max(N * CU * 8 * 3, 1)), 128))
+        # 2.5 GB budget (vs the staged regions' 6 GB): this MONOLITH
+        # composes term2 under the same vmap as J, and its per-stage
+        # tangent towers add [batch, Qp, G, U] temporaries the staged
+        # split schedules in separate programs — at the 6 GB budget the
+        # flagship monolith reserved 27.9 G and OOM'd (BENCH_r05).
+        risk_batch = max(1, min(int(2.5e9 // max(N * CU * 8 * 3, 1)),
+                                128))
 
     @jax.jit
     def _risk(qvec, P, ag, cl_agg, shocks):

@@ -85,3 +85,47 @@ class TestBuildParallel:
             [lambda: m.build_curve("GBP_OIS_SONIA",
                                    **_ois_kwargs(GBP_RATES))])
         assert "GBP_OIS_SONIA" in m._curves_dict
+
+    def test_basket_layout_independent_of_insertion_order(self):
+        """Thread-completion order must not leak into the compiled book
+        layout: two models with the SAME curves inserted in different
+        orders must produce identical quote packing and grid compaction
+        (the shipped-executables fingerprint depends on it — a
+        build_parallel race made a fresh process compact one fewer grid
+        pair than the exporter, BENCH_r05)."""
+        from adrates_tpu.parallel import compile_multibook
+        from adrates_tpu.trades.rates import OIS
+        from adrates_tpu.utils import (CurrencyTypes, CurveTypes,
+                                       FrequencyTypes, SwapTypes)
+
+        def build(order):
+            m = Model(Date(1, 1, 2024))
+            defs = {"GBP_OIS_SONIA": GBP_RATES,
+                    "USD_OIS_SOFR": USD_RATES}
+            for name in order:
+                m.build_curve(name, **_ois_kwargs(defs[name]))
+            m.build_fx(["GBPUSD"], [1.27])
+            m.build_xccy_curve(name="GBP_USD_XCCY",
+                               domestic_curve_name="USD_OIS_SOFR",
+                               foreign_curve_name="GBP_OIS_SONIA",
+                               basis_spreads=BASIS,
+                               tenor_list=XCCY_TENORS, spot_fx=1.27)
+            trades = [OIS(Date(1, 1, 2024), "5Y", SwapTypes.RECEIVE,
+                          0.04, FrequencyTypes.ANNUAL,
+                          DayCountTypes.ACT_365F,
+                          CurveTypes.GBP_OIS_SONIA, CurrencyTypes.GBP),
+                      OIS(Date(1, 1, 2024), "3Y", SwapTypes.PAY, 0.045,
+                          FrequencyTypes.ANNUAL, DayCountTypes.ACT_360,
+                          CurveTypes.USD_OIS_SOFR, CurrencyTypes.USD)]
+            return compile_multibook(trades, m,
+                                     base_currency=CurrencyTypes.USD)
+
+        a = build(["GBP_OIS_SONIA", "USD_OIS_SOFR"])
+        b = build(["USD_OIS_SOFR", "GBP_OIS_SONIA"])
+        assert [s.name for s in a.basket.specs] \
+            == [s.name for s in b.basket.specs]
+        assert a.basket.n_grid == b.basket.n_grid
+        np.testing.assert_array_equal(a.basket.grid_sel,
+                                      b.basket.grid_sel)
+        np.testing.assert_array_equal(np.asarray(a.basket.quotes0),
+                                      np.asarray(b.basket.quotes0))

@@ -133,3 +133,14 @@ class TestStagedRisk:
         from adrates_tpu.utils.error import LibError
         with pytest.raises(LibError, match="precompile"):
             fn.save_executables(str(tmp_path / "x.pkl"))
+
+    def test_trip_chunked_quad_form_matches(self, book, monkeypatch):
+        """Force the trip-axis lax.map chunking (flagship trip counts
+        OOM'd the unchunked [S, N, T] gather temporaries — BENCH_r05):
+        tiny chunks with a padded tail must reproduce the monolith
+        exactly (pad slots carry w=0 and index the t=0/df=1 slot)."""
+        mb, q0, shocks, ref = book
+        import adrates_tpu.parallel.multibook as mbmod
+        assert int(mb.aggregate.trip_s.shape[0]) > 5
+        monkeypatch.setattr(mbmod, "_TRIP_CHUNK", 4)
+        _assert_matches(ref, make_staged_multibook_fn(mb)(q0, shocks))
