@@ -338,7 +338,9 @@ def stage_rows(ut, ts_static, ds, its: Sequence[InterpTypes],
         else:
             t = jnp.asarray(ts_static[m])
             aux = interp_fit(t, ds[m], it)
-            rows[m] = interp_df(ut, t, ds[m], it, aux)
+            q = (jnp.asarray(plan["q"][m])
+                 if plan is not None and "q" in plan else ut)
+            rows[m] = interp_df(q, t, ds[m], it, aux)
     for it, mids in by_scheme.items():
         if plan is not None and it.name in plan:
             out = jax.vmap(
@@ -604,6 +606,37 @@ def build_batched_grids(basket, unique_times: np.ndarray,
             simple_interp_plan(unique_times, stacked_ts[g], it)
             for g in range(len(ids_))])
     bat["gplan"] = gplan
+
+    # ---- keep-compact row plans for the structured risk pass ---------
+    # A stage's rows only matter at the times the book's index tables
+    # reference ON ITS OWN curves (basket.grid_keep_of, the grid
+    # compaction): plans built at those queries (padded to the stage
+    # max) shrink every [G, U] row/tangent intermediate of the per-stage
+    # AD — measured 4.6x dense overhead at flagship_v5 diversity, and
+    # the stage row width is what the A/C1/C2 region compiles and HBM
+    # scale with. make_pertrade_curvehess keeps the full-U "row_plan"
+    # (pertrade_blocks' restricted gradients are time-dense per curve).
+    keep_of = getattr(basket, "grid_keep_of", None)
+    if keep_of is not None and not getattr(basket, "_grid_dense", True):
+        for st in stages:
+            qlists = [unique_times[keep_of[cid]] for cid in st.ids]
+            Ug = max((len(q) for q in qlists), default=1) or 1
+            qpad = np.stack([
+                np.concatenate([q, np.full(Ug - len(q),
+                                           unique_times[0])])
+                for q in qlists])
+            plan: Dict[str, np.ndarray] = {"q": qpad}
+            by_s: Dict[InterpTypes, List[int]] = {}
+            for m, cid in enumerate(st.ids):
+                it = interp_of[cid]
+                if it in _SIMPLE:
+                    by_s.setdefault(it, []).append(m)
+            for it, mids in by_s.items():
+                plan[it.name] = _stack_plans([
+                    simple_interp_plan(qpad[m], ts_static_of[st.ids[m]],
+                                       it)
+                    for m in mids])
+            bat[st.key]["row_plan_keep"] = plan
 
     def grids(qvec, P):
         # query times come from params, never the closure: f64 closure

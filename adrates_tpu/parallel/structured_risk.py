@@ -163,13 +163,21 @@ def _build_meta(basket):
 
     # grid-axis compaction metadata (multibook.compile_multibook keeps
     # only the referenced (curve, time) pairs of the dense [C*U] axis;
-    # identity when the basket was built without a selection)
+    # identity when the basket was built without a selection).
+    # ``keeprows``: every stage carries a keep-compact row plan
+    # (curve_batching "row_plan_keep"), so the structured pass can
+    # evaluate stage rows ONLY at each curve's referenced times —
+    # compact end-to-end, no dense [G, U] intermediates anywhere.
     dense = getattr(basket, "grid_sel", None) is None \
         or getattr(basket, "_grid_dense", True)
+    keeprows = (not dense) and all(
+        "row_plan_keep" in bat0[st.key] for st in stages)
     grid = dict(
         dense=dense,
+        keeprows=keeprows,
         n_grid=basket.n_grid if not dense else C * U,
         keep_of=(None if dense else basket.grid_keep_of),
+        offsets=(None if dense else basket.grid_offsets),
         inv=(None if dense else basket.grid_inv))
 
     return dict(stages=stages, specs=specs, C=C, N=N, U=U, bat0=bat0,
@@ -222,21 +230,56 @@ def make_structured_parts(basket):
     xccy_last = meta["xccy_last"]
     grid = meta["grid"]
     keep_of = grid["keep_of"]
+    keeprows = grid["keeprows"]
+    bat0 = meta["bat0"]
+    Uc_of = (None if keep_of is None
+             else [int(k.shape[0]) for k in keep_of])
+    offs = grid["offsets"]
 
-    def _keep_cols(x, cid):
-        """Select a curve's referenced unique-time columns (last axis)
-        under the grid compaction; identity when the axis is dense."""
-        return x if grid["dense"] else jnp.take(x, keep_of[cid], axis=-1)
+    def _rp(b):
+        """The stage row plan the scenario pass traces: keep-compact
+        when available (rows only at each curve's referenced times —
+        the [G, U] stage intermediates are the A/C1/C2 regions' HBM and
+        compile scale), else the full-U static plan."""
+        return (b.get("row_plan_keep") if keeprows
+                else b.get("row_plan"))
+
+    def _crop(x, cid):
+        """A member's stage-row output restricted to its curve's
+        referenced times (last axis). keeprows: the row WAS evaluated
+        at keep times (padded to the stage max) — static slice. Else:
+        gather-select from the dense [U] row (identity when dense)."""
+        if keeprows:
+            return x[..., :Uc_of[cid]]
+        if grid["dense"]:
+            return x
+        return jnp.take(x, keep_of[cid], axis=-1)
 
     def _g_dense(g0):
         """Re-expand a compacted aggregate cotangent to the dense [C*U]
-        axis so the per-curve stage slices below stay index-arithmetic.
-        A static GATHER of [C*U] (unreferenced entries read an appended
-        zero) — never an f64 scatter (docs/tpu_f64_notes.md)."""
+        axis so the per-curve stage slices below stay index-arithmetic
+        (dense-row fallback mode only). A static GATHER of [C*U]
+        (unreferenced entries read an appended zero) — never an f64
+        scatter (docs/tpu_f64_notes.md)."""
         if grid["dense"]:
             return g0
         pad = jnp.concatenate([g0, jnp.zeros(1, g0.dtype)])
         return pad[jnp.asarray(grid["inv"])]
+
+    def _stage_g(g0, st, si):
+        """The aggregate cotangent laid out over one stage's row
+        output [G, W]. keeprows: static slice-place each member's
+        compact segment (pad columns carry zero — they multiply pad
+        row outputs). Else: per-curve slices of the dense cotangent."""
+        if not keeprows:
+            return jnp.stack([g0[cid * U:(cid + 1) * U]
+                              for cid in st.ids])
+        W = int(bat0[st.key]["row_plan_keep"]["q"].shape[1])
+        out = jnp.zeros((len(st.ids), W), g0.dtype)
+        for mi, cid in enumerate(st.ids):
+            seg = g0[int(offs[cid]):int(offs[cid]) + Uc_of[cid]]
+            out = out.at[mi, :Uc_of[cid]].set(seg)
+        return out
 
     def fwd_delta(qvec, P, agg, clamp_agg):
         B = P["bat"]
@@ -260,7 +303,7 @@ def make_structured_parts(basket):
                 ds = (ois_native_ds(r, b) if st.kind == "ois"
                       else infl_native_ds(r, b))
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
-                                  b.get("row_plan"))
+                                  _rp(b))
                 return ds, rows
 
             (ds, rows), jvp = jax.linearize(fwd, q_local)
@@ -302,7 +345,7 @@ def make_structured_parts(basket):
                         for_ds=for_ds):
                     ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
                     rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
-                                  b.get("row_plan"))
+                                  _rp(b))
                     return ds, rows
 
                 (ds, rows), jvp = jax.linearize(fwd, spreads)
@@ -338,7 +381,7 @@ def make_structured_parts(basket):
             def boot_fn(sp, pv, fd, b=b, st=st, si=si):
                 ds = xccy_boot_ds(sp, pv, fd, b, st)
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
-                                  b.get("row_plan"))
+                                  _rp(b))
                 return ds, rows
 
             (ds, rows), jvp_boot = jax.linearize(boot_fn, spreads, pv0,
@@ -371,7 +414,8 @@ def make_structured_parts(basket):
                     drows2[:S, mi],
                     dom_block,
                     drows2[2 * S:2 * S + qf_m, mi],
-                    jnp.zeros((D - S - qd_m - qf_m, U), dt)]))
+                    jnp.zeros((D - S - qd_m - qf_m,
+                               drows2.shape[-1]), dt)]))
             drows_st[si] = jnp.stack(mems, axis=1)         # [D, G, U]
             for mi, cid in enumerate(st.ids):
                 ds_of[cid] = ds[mi]
@@ -381,7 +425,7 @@ def make_structured_parts(basket):
 
         # ---- aggregate gradient --------------------------------------
         dfs_flat = jnp.concatenate(
-            [_keep_cols(rows_of[c], c) for c in range(C)])
+            [_crop(rows_of[c], c) for c in range(C)])
         g = jax.grad(
             lambda d: aggregate_total(d, agg, clamp_agg))(dfs_flat)
 
@@ -389,7 +433,7 @@ def make_structured_parts(basket):
         blocks = []
         for cid in range(C):
             si, mi = pos_of[cid]
-            d_c = _keep_cols(drows_st[si][:, mi, :], cid)
+            d_c = _crop(drows_st[si][:, mi, :], cid)
             blocks.append(_place_rows(d_c, _segments(si, mi),
                                       d_c.shape[-1]))
         J = jnp.concatenate(blocks, axis=1)       # [N, n_grid]
@@ -411,7 +455,9 @@ def make_structured_parts(basket):
 
         # ---- per-stage hessians, XCCY first (cotangents flow onto the
         # parent OIS natives) ------------------------------------------
-        g0 = _g_dense(jax.lax.stop_gradient(g))
+        g0 = jax.lax.stop_gradient(g)
+        if not keeprows:
+            g0 = _g_dense(g0)
         H2 = jnp.zeros((N, N), dt)
         v_of: Dict[str, jnp.ndarray] = {}
 
@@ -422,8 +468,7 @@ def make_structured_parts(basket):
             xs = carry[si]
             G = len(st.ids)
             S = m["S"]
-            g_stage = jnp.stack(
-                [g0[cid * U:(cid + 1) * U] for cid in st.ids])  # [G, U]
+            g_stage = _stage_g(g0, st, si)              # [G, W]
             spreads = qvec[b["qidx"]]                       # [G, S]
 
             if m["parents"] is None:
@@ -431,7 +476,7 @@ def make_structured_parts(basket):
                             dom_ds=xs["dom_ds"], for_ds=xs["for_ds"]):
                     ds = xccy_native_ds(sp, dom_ds, for_ds, b, st)
                     rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
-                                  b.get("row_plan"))
+                                  _rp(b))
                     return jnp.vdot(g_stage, rows)
 
                 gfun = jax.grad(s_plain)
@@ -450,7 +495,7 @@ def make_structured_parts(basket):
             def boot_fn(sp, pv, fd, b=b, st=st, si=si):
                 ds = xccy_boot_ds(sp, pv, fd, b, st)
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
-                                  b.get("row_plan"))
+                                  _rp(b))
                 return ds, rows
 
             sp0, pv0, fd0 = spreads, xs["pv0"], xs["for_ds"]
@@ -551,7 +596,9 @@ def make_structured_parts(basket):
         B = P["bat"]
         ut = P["unique_times"]
         dt = qvec.dtype
-        g0 = _g_dense(jax.lax.stop_gradient(g))
+        g0 = jax.lax.stop_gradient(g)
+        if not keeprows:
+            g0 = _g_dense(g0)
         H2 = jnp.zeros((N, N), dt)
 
         for si in ois_first:
@@ -559,8 +606,7 @@ def make_structured_parts(basket):
             b = B[st.key]
             q_local = qvec[b["qidx"]]
             G, Qp = q_local.shape
-            g_stage = jnp.stack(
-                [g0[cid * U:(cid + 1) * U] for cid in st.ids])  # [G, U]
+            g_stage = _stage_g(g0, st, si)              # [G, W]
             P1 = b["ts_static"].shape[1]
             v_stage = jnp.stack([
                 v_of.get(str(cid), jnp.zeros(P1, dt))
@@ -570,7 +616,7 @@ def make_structured_parts(basket):
                 ds = (ois_native_ds(r, b) if st.kind == "ois"
                       else infl_native_ds(r, b))
                 rows = stage_rows(ut, b["ts_static"], ds, its_of[si],
-                                  b.get("row_plan"))
+                                  _rp(b))
                 return ds, rows
 
             def psi(r, fwd=fwd, g_stage=g_stage, v_stage=v_stage):
