@@ -65,6 +65,16 @@ SPEED_MAX_QUOTES = 64
 # vmap; 1,024 keeps the [N, Tc] @ [Tc, N] matmuls MXU-sized).
 _TRIP_CHUNK = 1024
 
+# Scenario compile-shape cap for the staged region programs. The remote
+# XLA:TPU service's compile time scales with tensor shapes as well as
+# op count: the flagship A/C1 regions compiled in ~61/63 s at chunk 21
+# but ~82/105 s at chunk 100 (BENCH_r05 runs), while the WARM cost of
+# dispatching four 25-scenario chunks matches one 100-chunk dispatch
+# now that keep-compact rows and the grouped term1 shrank the per-chunk
+# work. Chunks are equalized (ceil(S / ceil(S / cap))) so S=100 runs
+# 4 x 25 with zero padding waste. ``max_chunk`` still overrides.
+_STAGED_COMPILE_CHUNK = 25
+
 
 # ---------------------------------------------------------------------------
 # Curve basket: the model's curves as one differentiable system
@@ -1556,30 +1566,140 @@ def _gamma_quad_form(J, dfs_flat, agg: MultiBookAggregate,
         G = jnp.sum(parts, axis=0)
 
     if clamp is not None:
-        # PV = w·clip((u/v-1)/ia + spread, lo, hi)·p; the clipped rate's
-        # u/v partials vanish outside the cap/floor band (kink itself is
-        # measure-zero, as in AD).
-        u = dfs_flat[clamp.s_idx]
-        v = dfs_flat[clamp.e_idx]
-        p = dfs_flat[clamp.p_idx]
-        has = clamp.ia > 0.0
-        ia = jnp.where(has, clamp.ia, 1.0)
-        pre = jnp.where(has, (u / v - 1.0) / ia, 0.0) + clamp.spread
-        inside = ((pre > clamp.floor) & (pre < clamp.cap)) & has
-        wI = clamp.w * inside.astype(u.dtype)
-        Ju = J[:, clamp.s_idx]
-        Jv = J[:, clamp.e_idx]
-        Jp = J[:, clamp.p_idx]
-        g_uv = -wI * p / (ia * v * v)
-        g_up = wI / (ia * v)
-        g_vp = -wI * u / (ia * v * v)
-        g_vv = 2.0 * wI * p * u / (ia * v * v * v)
-        Gc = (Ju * g_uv[None, :]) @ Jv.T
-        Gc = Gc + (Ju * g_up[None, :]) @ Jp.T
-        Gc = Gc + (Jv * g_vp[None, :]) @ Jp.T
-        Gc = Gc + Gc.T
-        Gc = Gc + (Jv * g_vv[None, :]) @ Jv.T
-        G = G + Gc
+        G = G + _clamp_quad_form(J, dfs_flat, clamp)
+    return G
+
+
+def _clamp_quad_form(J, dfs_flat, clamp: ClampSlots):
+    """The cap/floor slots' contribution to Jᵀ·H_agg·J.
+    PV = w·clip((u/v-1)/ia + spread, lo, hi)·p; the clipped rate's
+    u/v partials vanish outside the cap/floor band (kink itself is
+    measure-zero, as in AD)."""
+    u = dfs_flat[clamp.s_idx]
+    v = dfs_flat[clamp.e_idx]
+    p = dfs_flat[clamp.p_idx]
+    has = clamp.ia > 0.0
+    ia = jnp.where(has, clamp.ia, 1.0)
+    pre = jnp.where(has, (u / v - 1.0) / ia, 0.0) + clamp.spread
+    inside = ((pre > clamp.floor) & (pre < clamp.cap)) & has
+    wI = clamp.w * inside.astype(u.dtype)
+    Ju = J[:, clamp.s_idx]
+    Jv = J[:, clamp.e_idx]
+    Jp = J[:, clamp.p_idx]
+    g_uv = -wI * p / (ia * v * v)
+    g_up = wI / (ia * v)
+    g_vp = -wI * u / (ia * v * v)
+    g_vv = 2.0 * wI * p * u / (ia * v * v * v)
+    Gc = (Ju * g_uv[None, :]) @ Jv.T
+    Gc = Gc + (Ju * g_up[None, :]) @ Jp.T
+    Gc = Gc + (Jv * g_vp[None, :]) @ Jp.T
+    Gc = Gc + Gc.T
+    return Gc + (Jv * g_vv[None, :]) @ Jv.T
+
+
+def _term1_trip_groups(basket, agg: MultiBookAggregate):
+    """Host-side signature grouping of the trip table for the quad
+    form: a trip's three J columns are nonzero ONLY on the quote slots
+    of the curves they belong to (plus XCCY parents when the basket
+    recalibrates them in-graph), so the [N, T] @ [T, N] contraction can
+    run at each group's closed quote width k instead of full N —
+    measured (flagship_v5, k <= 72 of N=184) this is where the staged B
+    region's 713 ms warm wall lived. Returns a list of dicts with
+    static int index arrays (safe as closure constants; f64 WEIGHTS
+    still route through the traced aggregate — docs/tpu_f64_notes.md),
+    or None when the basket lacks grid metadata."""
+    curve_of = getattr(basket, "grid_curve_of", None)
+    if curve_of is None or agg.trip_s.shape[0] == 0:
+        return None
+    curve_of = np.asarray(curve_of)
+    specs = basket.specs
+
+    def contrib(cid):
+        s = {int(cid)}
+        sp = specs[int(cid)]
+        if sp.kind == "xccy" and basket.recalibrate_xccy:
+            s |= {sp.dom_id, sp.for_id}
+        return s
+
+    ts = np.asarray(agg.trip_s)
+    te = np.asarray(agg.trip_e)
+    tp = np.asarray(agg.trip_p)
+    cs, ce, cp = curve_of[ts], curve_of[te], curve_of[tp]
+    sig_cache: Dict[tuple, frozenset] = {}
+    by_sig: Dict[frozenset, List[int]] = {}
+    for t in range(ts.shape[0]):
+        key = (int(cs[t]), int(ce[t]), int(cp[t]))
+        sig = sig_cache.get(key)
+        if sig is None:
+            sig = frozenset(contrib(key[0]) | contrib(key[1])
+                            | contrib(key[2]))
+            sig_cache[key] = sig
+        by_sig.setdefault(sig, []).append(t)
+
+    groups = []
+    for sig, tidx in sorted(by_sig.items(),
+                            key=lambda kv: sorted(kv[0])):
+        raw = sorted((specs[c].offset, specs[c].n_quotes) for c in sig)
+        segs: List[tuple] = []
+        for off, n in raw:                  # merge adjacent quote slices
+            if segs and segs[-1][0] + segs[-1][1] == off:
+                segs[-1] = (segs[-1][0], segs[-1][1] + n)
+            else:
+                segs.append((off, n))
+        tsel = np.asarray(tidx, dtype=np.int32)
+        groups.append(dict(
+            tsel=tsel,
+            s_idx=ts[tsel].astype(np.int32),
+            e_idx=te[tsel].astype(np.int32),
+            p_idx=tp[tsel].astype(np.int32),
+            segs=tuple(segs),
+            k=sum(n for _, n in segs)))
+    return groups
+
+
+def _gamma_quad_form_grouped(J, dfs_flat, agg: MultiBookAggregate,
+                             clamp: Optional[ClampSlots], groups):
+    """_gamma_quad_form restricted per signature group (see
+    _term1_trip_groups): each group contracts [k, T_g] @ [T_g, k] and
+    adds its block into G at the group's quote segments by contiguous
+    dynamic-slice updates (never an f64 scatter). Every trip lives in
+    exactly one group, so the block adds compose exactly; clamp slots
+    keep the full-N closed form (K is tiny)."""
+    N = J.shape[0]
+    G = jnp.zeros((N, N), J.dtype)
+    for g in groups:
+        s_i = jnp.asarray(g["s_idx"])
+        e_i = jnp.asarray(g["e_idx"])
+        p_i = jnp.asarray(g["p_idx"])
+        a = dfs_flat[s_i]
+        b = dfs_flat[e_i]
+        c = dfs_flat[p_i]
+        w = agg.trip_w[jnp.asarray(g["tsel"])]
+        Jk = jnp.concatenate([J[off:off + n] for off, n in g["segs"]])
+        Ja = Jk[:, s_i]                     # [k, T_g]
+        Jb = Jk[:, e_i]
+        Jc = Jk[:, p_i]
+        f_ab = -c / (b * b)
+        f_ac = 1.0 / b
+        f_bb = 2.0 * a * c / (b * b * b)
+        f_bc = -a / (b * b)
+        Z = (Ja * (w * f_ab)[None, :]) @ Jb.T
+        Z = Z + (Ja * (w * f_ac)[None, :]) @ Jc.T
+        Z = Z + (Jb * (w * f_bc)[None, :]) @ Jc.T
+        Z = Z + Z.T
+        Z = Z + (Jb * (w * f_bb)[None, :]) @ Jb.T
+        lo1 = 0
+        for off1, n1 in g["segs"]:
+            lo2 = 0
+            for off2, n2 in g["segs"]:
+                cur = lax.dynamic_slice(G, (off1, off2), (n1, n2))
+                G = lax.dynamic_update_slice(
+                    G, cur + Z[lo1:lo1 + n1, lo2:lo2 + n2],
+                    (off1, off2))
+                lo2 += n2
+            lo1 += n1
+    if clamp is not None:
+        G = G + _clamp_quad_form(J, dfs_flat, clamp)
     return G
 
 
@@ -1767,7 +1887,8 @@ def make_multibook_fn(mb: MultiBook, want_gamma: bool = True):
     structured = None
     if getattr(basket, "_stages", None) is not None:
         from .structured_risk import make_structured_risk
-        structured = make_structured_risk(basket)
+        structured = make_structured_risk(basket,
+                                          host_agg=mb.aggregate)
         # the structured pass holds ~3 [batch, N, n_grid] f64 arrays
         # live (J, term1 gathers, per-stage tangent stacks are smaller);
         # larger scenario batches amortize per-op dispatch overhead —
@@ -1869,7 +1990,7 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
             "make_staged_multibook_fn requires the batched stage "
             "topology: compile the book with batch_curves=True")
     from .structured_risk import make_structured_parts
-    parts = make_structured_parts(basket)
+    parts = make_structured_parts(basket, host_agg=mb.aggregate)
     fwd_delta = parts["fwd_delta"]
     term1 = parts["term1"]
     term2_xccy = parts["term2_xccy"]
@@ -1886,11 +2007,19 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
     CU = basket.n_grid
     N = basket.n_quotes
     dt = np.asarray(basket.quotes0).dtype
-    # same HBM budget as the monolith: ~3 [chunk, N, n_grid] f64 live
-    # (6 GB of 16: flagship_v5 compacted fits S=100 in ONE chunk)
-    chunk_cap = max(1, min(int(6e9 // max(N * CU * 8 * 3, 1)), 128))
+    # HBM budget (~3 [chunk, N, n_grid] f64 live) AND the compile-shape
+    # cap (see _STAGED_COMPILE_CHUNK: region compile time scales with
+    # the scenario width; warm dispatch cost no longer does)
+    chunk_cap = max(1, min(int(6e9 // max(N * CU * 8 * 3, 1)),
+                           _STAGED_COMPILE_CHUNK, 128))
     if max_chunk is not None:
         chunk_cap = int(max_chunk)
+
+    def _chunk_for(S: int) -> int:
+        """Equalized chunk: smallest count of <=chunk_cap-sized chunks,
+        then even sizes (S=100, cap 25 -> 4 x 25, no padding waste)."""
+        n_ch = -(-S // chunk_cap)
+        return -(-S // n_ch)
 
     @jax.jit
     def _A(qvec, P, ag, cl_agg, shocks):
@@ -1942,7 +2071,7 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
         qvec = jnp.asarray(qvec, dt)
         shocks_np = np.asarray(shocks, dt)
         S = shocks_np.shape[0]
-        chunk = min(chunk_cap, S)
+        chunk = _chunk_for(S)
         outs = []
         for lo in range(0, S, chunk):
             sh = shocks_np[lo:lo + chunk]
@@ -1983,7 +2112,7 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
         tpu_operational_notes.md)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        chunk = min(chunk_cap, int(n_scenarios))
+        chunk = _chunk_for(int(n_scenarios))
 
         def sds(t):
             return jax.tree_util.tree_map(
@@ -2301,7 +2430,8 @@ def make_sharded_multibook_fn(mb: MultiBook, mesh, axis="book",
     structured = None
     if getattr(basket, "_stages", None) is not None:
         from .structured_risk import make_structured_risk
-        structured = make_structured_risk(basket)
+        structured = make_structured_risk(basket,
+                                          host_agg=mb.aggregate)
     # aggregate carries the TILED totals already (lazy or materialized)
     agg = jax.device_put(mb.aggregate, repl)
     clamp_agg = _agg_clamp(

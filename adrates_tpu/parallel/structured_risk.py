@@ -55,7 +55,8 @@ import numpy as np
 
 from .curve_batching import (infl_native_ds, ois_native_ds, stage_rows,
                              xccy_boot_ds, xccy_legs_pv, xccy_native_ds)
-from .multibook import _gamma_quad_form, aggregate_total
+from .multibook import (_gamma_quad_form, _gamma_quad_form_grouped,
+                        _term1_trip_groups, aggregate_total)
 
 
 def _build_meta(basket):
@@ -190,7 +191,7 @@ def _build_meta(basket):
                            if st.kind == "xccy"])
 
 
-def make_structured_parts(basket):
+def make_structured_parts(basket, host_agg=None):
     """Build the structured risk pass as THREE separable functions, so a
     caller can either compose them under one jit (make_structured_risk)
     or compile them as independent region programs
@@ -440,7 +441,17 @@ def make_structured_parts(basket):
         return {"dfs": dfs_flat, "g": g, "J": J, "delta": J @ g,
                 "carry": carry}
 
+    # trip signature groups (host): the quad form contracts at each
+    # group's closed quote width instead of full N — the staged B
+    # region's warm wall (see multibook._term1_trip_groups). Built only
+    # when the caller supplies the HOST aggregate (static trip tables).
+    t1_groups = (None if host_agg is None
+                 else _term1_trip_groups(basket, host_agg))
+
     def term1(J, dfs_flat, agg, clamp_agg):
+        if t1_groups:
+            return _gamma_quad_form_grouped(J, dfs_flat, agg, clamp_agg,
+                                            t1_groups)
         return _gamma_quad_form(J, dfs_flat, agg, clamp_agg)
 
     def term2_xccy(qvec, P, g, carry):
@@ -641,7 +652,7 @@ def make_structured_parts(basket):
                 term2_xccy=term2_xccy, term2_ois=term2_ois, meta=meta)
 
 
-def make_structured_risk(basket):
+def make_structured_risk(basket, host_agg=None):
     """Build scenario_risk(qvec, P, agg, clamp_agg, want_gamma) from the
     basket's batched stage topology. Requires the basket to have been
     compiled with batch_curves=True (basket._stages present).
@@ -651,7 +662,7 @@ def make_structured_risk(basket):
     does, vmapped over scenarios). For independently-compiled region
     programs use the parts directly (multibook.make_staged_multibook_fn).
     """
-    parts = make_structured_parts(basket)
+    parts = make_structured_parts(basket, host_agg=host_agg)
     fwd_delta = parts["fwd_delta"]
     term1 = parts["term1"]
     term2 = parts["term2"]

@@ -55,10 +55,10 @@ def main():
     q0 = jnp.asarray(mb.basket.quotes0)
     shocks = jnp.asarray(rng.normal(0.0, 1e-3, (S, N)))
 
+    import jax.tree_util as jtu
+
     def fetch(x):
-        return float(sum(jnp.sum(v) for v in
-                         (x.values() if isinstance(x, dict) else
-                          x if isinstance(x, (tuple, list)) else [x])))
+        return float(sum(jnp.sum(v) for v in jtu.tree_leaves(x)))
 
     # composed pass
     for _ in range(2):
@@ -69,8 +69,6 @@ def main():
 
     # region-by-region (dispatch through the kept executables with the
     # real intermediate values)
-    import jax.tree_util as jtu
-
     from adrates_tpu.parallel.multibook import _agg_clamp, \
         _device_expand, _trade_row_table
 
@@ -94,9 +92,7 @@ def main():
 
     def timeit(name, call, *args):
         t0 = time.perf_counter()
-        out = call(*args)
-        got = fetch(out if isinstance(out, dict) else
-                    {"x": out[0] if isinstance(out, tuple) else out})
+        got = fetch(call(*args))
         dt = (time.perf_counter() - t0) * 1e3
         print(f"{name}: {dt:.0f} ms (fetch {got:.3e})", flush=True)
 

@@ -144,3 +144,34 @@ class TestStagedRisk:
         assert int(mb.aggregate.trip_s.shape[0]) > 5
         monkeypatch.setattr(mbmod, "_TRIP_CHUNK", 4)
         _assert_matches(ref, make_staged_multibook_fn(mb)(q0, shocks))
+
+    def test_grouped_term1_matches_ungrouped(self, book):
+        """The signature-grouped quad form (term1 at each group's
+        closed quote width — the staged B region's warm wall at
+        flagship scale) must equal the full-N closed form exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from adrates_tpu.parallel.multibook import (
+            _agg_clamp, _gamma_quad_form, _gamma_quad_form_grouped,
+            _term1_trip_groups)
+
+        mb, q0, shocks, _ = book
+        basket = mb.basket
+        groups = _term1_trip_groups(basket, mb.aggregate)
+        assert groups and len(groups) >= 2
+        assert sum(g["tsel"].shape[0] for g in groups) \
+            == int(mb.aggregate.trip_s.shape[0])
+
+        grids = basket.grids
+        params = basket.params
+        agg = mb.aggregate
+        cl = _agg_clamp(mb.clamp, mb.tile)
+        qv = jnp.asarray(q0 + shocks[0])
+        dfs, jvp = jax.linearize(lambda q: grids(q, params), qv)
+        J = jax.vmap(jvp)(jnp.eye(q0.shape[0]))
+        ref = np.asarray(_gamma_quad_form(J, dfs, agg, cl))
+        out = np.asarray(_gamma_quad_form_grouped(J, dfs, agg, cl,
+                                                  groups))
+        np.testing.assert_allclose(
+            out, ref, rtol=0, atol=1e-13 * (np.abs(ref).max() + 1.0))
