@@ -95,11 +95,16 @@ class DiscountCurve:
 
     def df(self, dt: Union[Date, list],
            day_count: DayCountTypes = DayCountTypes.ACT_ACT_ISDA):
-        """DF at date(s); dates convert to times under ``day_count``."""
+        """DF at date(s); dates convert to times under ``day_count``.
+
+        Host-side shaping in numpy: jnp.atleast_1d / device indexing
+        here are EAGER op compiles per query shape — remote round
+        trips on tunneled backends (cold-start telemetry, round 5)."""
         times = times_from_dates(dt, self._value_dt, day_count)
-        dfs = self._df(jnp.atleast_1d(jnp.asarray(times)))
+        dfs = self._df(np.atleast_1d(np.asarray(times,
+                                                dtype=np.float64)))
         if isinstance(dt, Date):
-            return float(dfs[0])
+            return float(np.asarray(dfs)[0])
         return np.array(dfs)
 
     def df_t(self, t):

@@ -94,7 +94,12 @@ class OISCurve(DiscountCurve):
                     jnp.asarray(self.swap_rates), self._plan)
             self._times = times
             self._dfs = dfs
-            self._repr_dfs = dfs[jnp.asarray(self._plan.pillar_point) + 1]
+            # numpy indexing: fancy-indexing the device array here is
+            # ~14 EAGER op compiles per pillar shape (gather/add/
+            # broadcast/select), each a remote-service round trip on
+            # the tunneled backend (cold-start telemetry, round 5)
+            self._repr_dfs = np.asarray(dfs)[
+                np.asarray(self._plan.pillar_point) + 1]
             self._freq_type = FrequencyTypes.CONTINUOUS
             self._refresh_interpolator()
 
