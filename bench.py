@@ -660,7 +660,7 @@ def main():
             [sys.executable, os.path.abspath(__file__),
              "--cached-cold-child"],
             capture_output=True, text=True, env=child_env,
-            timeout=1800, cwd=os.path.dirname(os.path.abspath(__file__)))
+            timeout=900, cwd=os.path.dirname(os.path.abspath(__file__)))
         child_wall = round((time.perf_counter() - t0) * 1e3, 1)
         if proc.returncode == 0 and proc.stdout.strip():
             child = json.loads(proc.stdout.strip().splitlines()[-1])
