@@ -1666,7 +1666,9 @@ def _gamma_quad_form_grouped(J, dfs_flat, agg: MultiBookAggregate,
     exactly one group, so the block adds compose exactly; clamp slots
     keep the full-N closed form (K is tiny)."""
     N = J.shape[0]
+    n_grid = J.shape[1]
     G = jnp.zeros((N, N), J.dtype)
+    Jf = J.reshape(-1)
     for g in groups:
         s_i = jnp.asarray(g["s_idx"])
         e_i = jnp.asarray(g["e_idx"])
@@ -1675,10 +1677,20 @@ def _gamma_quad_form_grouped(J, dfs_flat, agg: MultiBookAggregate,
         b = dfs_flat[e_i]
         c = dfs_flat[p_i]
         w = agg.trip_w[jnp.asarray(g["tsel"])]
-        Jk = jnp.concatenate([J[off:off + n] for off, n in g["segs"]])
-        Ja = Jk[:, s_i]                     # [k, T_g]
-        Jb = Jk[:, e_i]
-        Jc = Jk[:, p_i]
+        # ONE flat 2-D gather per operand: row-slicing J to [k, n_grid]
+        # and gathering columns after materializes ~20x the needed data
+        # (measured the B region's warm wall after grouping). The
+        # static [k, T_g] flat index tables fetch exactly the operand.
+        rows = np.concatenate([np.arange(off, off + n)
+                               for off, n in g["segs"]])
+        base = rows[:, None].astype(np.int64) * n_grid
+
+        def cols(idx, base=base):
+            return jnp.asarray(base + np.asarray(idx)[None, :])
+
+        Ja = Jf[cols(g["s_idx"])]           # [k, T_g]
+        Jb = Jf[cols(g["e_idx"])]
+        Jc = Jf[cols(g["p_idx"])]
         f_ab = -c / (b * b)
         f_ac = 1.0 / b
         f_bb = 2.0 * a * c / (b * b * b)
@@ -2176,6 +2188,7 @@ def make_staged_multibook_fn(mb: MultiBook, want_gamma: bool = True,
         state["chunk"] = chunk
         state["S"] = int(n_scenarios)
         fn.compile_seconds = timings
+        fn.chunk = chunk
         return fn
 
     def save_executables(path: str):

@@ -82,13 +82,21 @@ def main():
     tri = jnp.asarray(_trade_row_table(mb))
 
     ex = fn.programs
-    a = ex["A"](q0, params, agg, clamp_agg, shocks)
+    # regions compile at fn.chunk-scenario shapes; P runs full-S.
+    # Region timings below are ONE chunk's dispatch — multiply by
+    # ceil(S / chunk) to compare against the composed pass.
+    ck = getattr(fn, "chunk", S)
+    sc = shocks[:ck]
+    a = ex["A"](q0, params, agg, clamp_agg, sc)
     t1 = ex["B"](a["J"], a["dfs"], agg, clamp_agg)
-    h2x, v_of = ex["C1"](q0, params, a["g"], a["carry"], shocks)
-    h2o = ex["C2"](q0, params, a["g"], v_of, shocks)
+    h2x, v_of = ex["C1"](q0, params, a["g"], a["carry"], sc)
+    h2o = ex["C2"](q0, params, a["g"], v_of, sc)
     gam = ex["D"](t1, h2x, h2o)
-    pvs = ex["P"](a["dfs"], cols, clamp, agg, tri)
+    dfs_full = jnp.concatenate([a["dfs"]] * (-(-S // ck)))[:S]
+    pvs = ex["P"](dfs_full, cols, clamp, agg, tri)
     fetch({"g": gam, "p": pvs})
+    print(f"chunk={ck} (per-region times are ONE of {-(-S // ck)} "
+          f"chunks; P is full-S)", flush=True)
 
     def timeit(name, call, *args):
         t0 = time.perf_counter()
@@ -97,12 +105,12 @@ def main():
         print(f"{name}: {dt:.0f} ms (fetch {got:.3e})", flush=True)
 
     for _ in range(2):
-        timeit("A ", ex["A"], q0, params, agg, clamp_agg, shocks)
+        timeit("A ", ex["A"], q0, params, agg, clamp_agg, sc)
         timeit("B ", ex["B"], a["J"], a["dfs"], agg, clamp_agg)
-        timeit("C1", ex["C1"], q0, params, a["g"], a["carry"], shocks)
-        timeit("C2", ex["C2"], q0, params, a["g"], v_of, shocks)
+        timeit("C1", ex["C1"], q0, params, a["g"], a["carry"], sc)
+        timeit("C2", ex["C2"], q0, params, a["g"], v_of, sc)
         timeit("D ", ex["D"], t1, h2x, h2o)
-        timeit("P ", ex["P"], a["dfs"], cols, clamp, agg, tri)
+        timeit("P ", ex["P"], dfs_full, cols, clamp, agg, tri)
 
 
 if __name__ == "__main__":
